@@ -1,0 +1,88 @@
+"""Engine configuration dataclasses.
+
+Field names and defaults mirror the reference's config structs so that users
+of the reference can carry over hyperparameters unchanged:
+
+- ``WALSConfig``    — reference qmf/wals/WALSEngine.h:35-42 and the gflags
+  defaults in qmf/wals.cpp:26-31.
+- ``BPRConfig``     — reference qmf/bpr/BPREngine.h:38-51 and qmf/bpr.cpp:28-44.
+- ``MetricsConfig`` — reference qmf/metrics/MetricsEngine.h:29-33.
+
+TPU-specific additions (dtype/solver/batching knobs) are grouped at the end of
+each dataclass and have safe defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class WALSConfig:
+    """Weighted-ALS hyperparameters (Hu/Koren/Volinsky implicit feedback)."""
+
+    nepochs: int = 10
+    nfactors: int = 30
+    regularization_lambda: float = 0.05
+    confidence_weight: float = 40.0
+    init_distribution_bound: float = 0.01
+    # Path to a file with one float per line used to deterministically
+    # initialize item factors (row-major), enabling bit-comparable runs
+    # across implementations (reference qmf/FactorData.h:74-100).
+    distribution_file: str = ""
+
+    # --- TPU-native knobs (no reference equivalent) ---
+    # Computation dtype on device. float32 is the TPU-native choice; the
+    # reference computes in float64 on CPU (qmf/Types.h:24).
+    dtype: str = "float32"
+    # "cholesky" (SPD fast path, implicit-feedback standard) or "lu"
+    # (general symmetric, matches dsysv_'s tolerance of indefinite systems).
+    solver: str = "cholesky"
+    # Max rows per solve bucket on device; bounds compile count and memory.
+    batch_rows: int = 4096
+    # Random seed for item-factor init when distribution_file is empty.
+    # The reference draws from std::random_device (non-deterministic,
+    # WALSEngine.cpp:58-62); we default to a fixed seed for reproducibility.
+    init_seed: int = 0
+
+
+@dataclasses.dataclass
+class BPRConfig:
+    """BPR-SGD hyperparameters."""
+
+    nepochs: int = 10
+    nfactors: int = 30
+    init_learning_rate: float = 0.05
+    bias_lambda: float = 1.0
+    user_lambda: float = 0.025
+    item_lambda: float = 0.0025
+    decay_rate: float = 0.9
+    use_biases: bool = False
+    init_distribution_bound: float = 0.01
+    num_negative_samples: int = 3
+    # Reference meaning: Hogwild thread count (qmf/bpr/BPREngine.cpp:153-164).
+    # Here it has no effect on the math: Hogwild's asynchronous races are
+    # replaced by synchronous vectorized minibatches (see BPREngine docs).
+    # Kept for CLI compatibility.
+    num_hogwild_threads: int = 1
+    shuffle_training_set: bool = True
+
+    # --- TPU-native knobs ---
+    dtype: str = "float32"
+    # Triplets per device step. Plays the role Hogwild's concurrency played:
+    # updates within a batch read the same (pre-batch) parameters, like
+    # concurrent Hogwild threads reading unsynchronized state.
+    batch_size: int = 8192
+    # Rounds of negative re-sampling for candidates that collide with the
+    # user's positive set (reference rejection loop BPREngine-inl.h:48-60).
+    neg_resample_rounds: int = 4
+    init_seed: int = 0
+
+
+@dataclasses.dataclass
+class MetricsConfig:
+    """Evaluation configuration (reference qmf/metrics/MetricsEngine.h:29-33)."""
+
+    num_test_users: int = 0
+    always_compute: bool = False
+    seed: int = 42

@@ -1,0 +1,117 @@
+"""ctypes bindings to the native C++ IO library (qmf_tpu/_native).
+
+The reference's data loader and factor writer are C++ (qmf/DatasetReader.cpp,
+qmf/Engine.cpp:98-122); this module binds our C++ equivalents — an
+mmap+parallel text parser and a fixed-9-decimal factor writer — built as a
+shared library by ``qmf_tpu/_native/Makefile``. All callers degrade
+gracefully to numpy/Python paths when the library isn't built.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB_NAME = "libqmf_native.so"
+_lib: Optional[ctypes.CDLL] = None
+_load_attempted = False
+
+
+def _lib_path() -> str:
+    return os.path.join(os.path.dirname(__file__), "..", "_native", _LIB_NAME)
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_attempted
+    if _load_attempted:
+        return _lib
+    _load_attempted = True
+    path = os.path.abspath(_lib_path())
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+
+    lib.qmf_count_lines.argtypes = [ctypes.c_char_p]
+    lib.qmf_count_lines.restype = ctypes.c_longlong
+
+    lib.qmf_read_dataset.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_longlong),  # user_ids out
+        ctypes.POINTER(ctypes.c_longlong),  # item_ids out
+        ctypes.POINTER(ctypes.c_double),  # values out
+        ctypes.c_longlong,  # capacity
+    ]
+    lib.qmf_read_dataset.restype = ctypes.c_longlong
+
+    lib.qmf_write_factors.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_longlong),  # ids
+        ctypes.POINTER(ctypes.c_double),  # factors (row-major)
+        ctypes.POINTER(ctypes.c_double),  # biases (nullable)
+        ctypes.c_longlong,  # nelems
+        ctypes.c_longlong,  # nfactors
+    ]
+    lib.qmf_write_factors.restype = ctypes.c_int
+
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def read_dataset(path: str):
+    from qmf_tpu.data.dataset import Dataset
+
+    lib = _load()
+    assert lib is not None
+    path_b = path.encode()
+    n = lib.qmf_count_lines(path_b)
+    if n < 0:
+        raise IOError(f"native reader failed to open {path}")
+    users = np.empty(n, dtype=np.int64)
+    items = np.empty(n, dtype=np.int64)
+    values = np.empty(n, dtype=np.float64)
+    got = lib.qmf_read_dataset(
+        path_b,
+        users.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        items.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n,
+    )
+    if got < 0:
+        raise ValueError(f"the file format is incorrect: {path} (line {-got})")
+    return Dataset(users[:got], items[:got], values[:got])
+
+
+def write_factors(
+    path: str,
+    ids: np.ndarray,
+    factors: np.ndarray,
+    biases: Optional[np.ndarray],
+) -> None:
+    lib = _load()
+    assert lib is not None
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    factors = np.ascontiguousarray(factors, dtype=np.float64)
+    biases_ptr = (
+        np.ascontiguousarray(biases, dtype=np.float64).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_double)
+        )
+        if biases is not None
+        else None
+    )
+    rc = lib.qmf_write_factors(
+        path.encode(),
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        factors.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        biases_ptr,
+        factors.shape[0],
+        factors.shape[1],
+    )
+    if rc != 0:
+        raise IOError(f"native factor writer failed for {path}")

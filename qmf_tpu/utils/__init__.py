@@ -1,0 +1,2 @@
+from qmf_tpu.utils.split import split  # noqa: F401
+from qmf_tpu.utils.logging import log  # noqa: F401
