@@ -60,13 +60,16 @@ def _read_python(path: str) -> Dataset:
             if not line.strip():
                 continue
             parts = line.split()
-            if len(parts) < 3:
+            try:
+                if len(parts) < 3:
+                    raise ValueError("expected 3 fields")
+                users.append(int(parts[0]))
+                items.append(int(parts[1]))
+                values.append(float(parts[2]))
+            except ValueError:
                 raise ValueError(
                     f"{path}:{lineno}: the file format is incorrect: {line!r}"
-                )
-            users.append(int(parts[0]))
-            items.append(int(parts[1]))
-            values.append(float(parts[2]))
+                ) from None
     return Dataset(
         np.array(users, dtype=np.int64),
         np.array(items, dtype=np.int64),

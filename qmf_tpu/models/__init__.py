@@ -1,0 +1,2 @@
+from qmf_tpu.models.engine import Engine  # noqa: F401
+from qmf_tpu.models.wals import WALSEngine  # noqa: F401

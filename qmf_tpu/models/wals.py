@@ -1,0 +1,240 @@
+"""WALS training engine (weighted ALS, Hu/Koren/Volinsky implicit feedback).
+
+TPU-native re-design of the reference ``WALSEngine``
+(qmf/wals/WALSEngine.{h,cpp}):
+
+- ``init``: builds sorted-id indices and degree-bucketed padded batches for
+  both sides (replacing per-user SignalGroup vectors,
+  reference WALSEngine.cpp:37-69 + 130-163); initializes item factors
+  uniform(+-bound) or from a distribution file; user factors start at zero
+  (overwritten in the first half-epoch, same as the reference).
+- ``optimize``: per epoch, solve users given items, then items given users;
+  the logged train loss comes from the item half-epoch, normalized by
+  nusers*nitems — matching reference WALSEngine.cpp:82-96.
+- Each half-epoch runs as batched einsum + Cholesky device programs
+  (see qmf_tpu/ops/als_ops.py) instead of per-row LAPACK dsysv_ calls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qmf_tpu.config import WALSConfig
+from qmf_tpu.data.dataset import Dataset
+from qmf_tpu.data.factor_io import FactorData
+from qmf_tpu.data.id_index import IdIndex
+from qmf_tpu.models.engine import Engine
+from qmf_tpu.ops import als_ops
+from qmf_tpu.ops.packing import Bucket, pack_buckets, packed_stats
+from qmf_tpu.utils.logging import log
+
+
+@dataclasses.dataclass
+class DeviceBuckets:
+    """Degree-bucketed ratings resident on device (transferred once)."""
+
+    row_ids: List[jax.Array]
+    col_idx: List[jax.Array]
+    values: List[jax.Array]
+    mask: List[jax.Array]
+
+    @classmethod
+    def from_host(cls, buckets: List[Bucket], dtype) -> "DeviceBuckets":
+        return cls(
+            row_ids=[jnp.asarray(b.row_ids) for b in buckets],
+            col_idx=[jnp.asarray(b.col_idx) for b in buckets],
+            values=[jnp.asarray(b.values, dtype=dtype) for b in buckets],
+            mask=[jnp.asarray(b.mask) for b in buckets],
+        )
+
+    def __len__(self) -> int:
+        return len(self.row_ids)
+
+
+class WALSEngine(Engine):
+    def __init__(
+        self,
+        config: WALSConfig,
+        metrics_engine=None,
+    ):
+        self.config = config
+        self.metrics_engine = metrics_engine
+        self.dtype = jnp.dtype(config.dtype)
+        self.user_index: Optional[IdIndex] = None
+        self.item_index: Optional[IdIndex] = None
+        self.user_factors: Optional[jax.Array] = None  # (U, k) device
+        self.item_factors: Optional[jax.Array] = None  # (I, k) device
+        self._user_buckets: Optional[DeviceBuckets] = None
+        self._item_buckets: Optional[DeviceBuckets] = None
+        self.test_users: Optional[np.ndarray] = None
+        self.test_labels: Optional[np.ndarray] = None
+        if (
+            metrics_engine is not None
+            and metrics_engine.test_avg_metrics
+            and metrics_engine.config.num_test_users == 0
+        ):
+            log.warning(
+                "computing average test metrics on all users can be slow! "
+                "Set num_test_users > 0 to sample some of them"
+            )
+
+    @property
+    def nusers(self) -> int:
+        return self.user_index.size if self.user_index else 0
+
+    @property
+    def nitems(self) -> int:
+        return self.item_index.size if self.item_index else 0
+
+    # --- lifecycle -----------------------------------------------------------
+    def init(self, dataset: Dataset) -> None:
+        if self.user_factors is not None or self.item_factors is not None:
+            raise RuntimeError("engine was already initialized with train data")
+        cfg = self.config
+        self.user_index = IdIndex.from_sorted_ids(dataset.user_ids)
+        self.item_index = IdIndex.from_sorted_ids(dataset.item_ids)
+        rows = self.user_index.lookup(dataset.user_ids)
+        cols = self.item_index.lookup(dataset.item_ids)
+
+        t0 = time.time()
+        user_buckets = pack_buckets(
+            rows, cols, dataset.values, self.nusers, cfg.batch_rows
+        )
+        item_buckets = pack_buckets(
+            cols, rows, dataset.values, self.nitems, cfg.batch_rows
+        )
+        log.info(
+            "packed %d ratings: users %s, items %s (%.2fs)",
+            len(dataset),
+            packed_stats(user_buckets),
+            packed_stats(item_buckets),
+            time.time() - t0,
+        )
+        self._user_buckets = DeviceBuckets.from_host(user_buckets, self.dtype)
+        self._item_buckets = DeviceBuckets.from_host(item_buckets, self.dtype)
+
+        # item factors init: uniform or deterministic file; user factors zero
+        # (overwritten in the first user half-epoch) — WALSEngine.cpp:55-68.
+        item_init = FactorData(self.nitems, cfg.nfactors)
+        if cfg.distribution_file:
+            item_init.set_factors_from_file(cfg.distribution_file)
+        else:
+            item_init.set_factors_uniform(
+                cfg.init_distribution_bound, np.random.default_rng(cfg.init_seed)
+            )
+        self.item_factors = jnp.asarray(item_init.factors, dtype=self.dtype)
+        self.user_factors = jnp.zeros(
+            (self.nusers, cfg.nfactors), dtype=self.dtype
+        )
+
+    def init_test(self, test_dataset: Dataset) -> None:
+        if self.test_users is not None:
+            raise RuntimeError("engine was already initialized with test data")
+        if self.metrics_engine is not None and self.metrics_engine.test_avg_metrics:
+            self.test_users, self.test_labels = self.init_avg_test_data(
+                test_dataset,
+                self.user_index,
+                self.item_index,
+                self.metrics_engine.config.num_test_users,
+                self.metrics_engine.config.seed,
+            )
+
+    def _iterate(self, side: str) -> float:
+        """One half-epoch. side='user': fix items, solve users; vice versa."""
+        cfg = self.config
+        if side == "user":
+            fixed, buckets, n = self.item_factors, self._user_buckets, self.nusers
+        else:
+            fixed, buckets, n = self.user_factors, self._item_buckets, self.nitems
+        yty = als_ops.gramian(fixed)
+        alpha = jnp.asarray(cfg.confidence_weight, dtype=self.dtype)
+        lam = jnp.asarray(cfg.regularization_lambda, dtype=self.dtype)
+
+        xs, ids, losses = [], [], []
+        for i in range(len(buckets)):
+            x, loss = als_ops.solve_bucket(
+                fixed,
+                yty,
+                buckets.col_idx[i],
+                buckets.values[i],
+                buckets.mask[i],
+                alpha,
+                lam,
+                solver=cfg.solver,
+            )
+            xs.append(x)
+            ids.append(buckets.row_ids[i])
+            losses.append(jnp.sum(loss))
+        new_factors = (
+            jnp.zeros((n, cfg.nfactors), dtype=self.dtype)
+            .at[jnp.concatenate(ids)]
+            .set(jnp.concatenate(xs), mode="drop")
+        )
+        total_loss = float(sum(losses))
+        if side == "user":
+            self.user_factors = new_factors
+        else:
+            self.item_factors = new_factors
+        return total_loss / self.nusers / self.nitems
+
+    def optimize(self) -> None:
+        if self.user_factors is None or self.item_factors is None:
+            raise RuntimeError(
+                "no factor data, have you initialized the engine?"
+            )
+        for epoch in range(1, self.config.nepochs + 1):
+            t0 = time.time()
+            self._iterate("user")
+            loss = self._iterate("item")
+            jax.block_until_ready(self.item_factors)
+            log.info(
+                "epoch %d: train loss = %.10g (%.3fs)",
+                epoch,
+                loss,
+                time.time() - t0,
+            )
+            self.evaluate(epoch)
+
+    def evaluate(self, epoch: int) -> None:
+        me = self.metrics_engine
+        if (
+            me is not None
+            and me.test_avg_metrics
+            and self.test_users is not None
+            and len(self.test_users)
+            and (me.config.always_compute or epoch == self.config.nepochs)
+        ):
+            log.info("do compute evaluate ...")
+            scores = als_ops.compute_scores(
+                self.user_factors,
+                self.item_factors,
+                user_idx=jnp.asarray(self.test_users),
+            )
+            me.compute_and_record_test_avg_metrics(
+                epoch, self.test_labels, scores
+            )
+
+    # --- output --------------------------------------------------------------
+    def save_user_factors(self, file_name: str) -> None:
+        if self.user_factors is None:
+            raise RuntimeError("user factors wasn't initialized")
+        self.save_factor_data(
+            np.asarray(self.user_factors, dtype=np.float64),
+            self.user_index,
+            file_name,
+        )
+
+    def save_item_factors(self, file_name: str) -> None:
+        if self.item_factors is None:
+            raise RuntimeError("item factors wasn't initialized")
+        self.save_factor_data(
+            np.asarray(self.item_factors, dtype=np.float64),
+            self.item_index,
+            file_name,
+        )
