@@ -1,2 +1,3 @@
+from qmf_tpu.models.bpr import BPREngine  # noqa: F401
 from qmf_tpu.models.engine import Engine  # noqa: F401
 from qmf_tpu.models.wals import WALSEngine  # noqa: F401

@@ -1,0 +1,313 @@
+"""BPR training engine (Bayesian Personalized Ranking).
+
+TPU-native re-design of the reference ``BPREngine``
+(qmf/bpr/BPREngine.{h,cpp,-inl.h}):
+
+- ``init`` (reference BPREngine.cpp:65-105): keep elements with value >= 1.0
+  as positive (user, item) pairs, index ids in first-occurrence order, build
+  the per-user positive sets (as a sorted key array for device binary
+  search), pre-sample a fixed seeded train eval set, init factors/biases
+  uniform(+-bound).
+- ``init_test`` (reference BPREngine.cpp:107-144): filter to known ids,
+  build the test positive map, pre-sample the seeded test eval set
+  (negatives rejected against the TEST map only, matching
+  ``useTestItemMap=true``), and dense avg-metric test rows.
+- ``optimize`` (reference BPREngine.cpp:146-176): the reference runs Hogwild
+  lock-free SGD over ``num_hogwild_threads``. Here each epoch is a
+  permutation of the positive pairs processed in minibatches of
+  ``batch_size * num_negative_samples`` triplets; all updates in a batch read
+  pre-batch parameters and scatter-add their gradients — the deterministic
+  synchronous equivalent of Hogwild's unsynchronized concurrency (validated
+  statistically like reference BPREngineTest.cpp:80-157).
+- divergence guard: the reference CHECKs isfinite on every loss derivative
+  (BPREngine.cpp:184-185); here factor finiteness is checked each epoch and
+  raises with the same guidance.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qmf_tpu.config import BPRConfig
+from qmf_tpu.data.dataset import Dataset
+from qmf_tpu.data.id_index import MISSING_IDX, IdIndex
+from qmf_tpu.models.engine import Engine
+from qmf_tpu.ops import als_ops, bpr_ops
+from qmf_tpu.ops.bpr_ops import BPRParams
+from qmf_tpu.utils.logging import log
+
+
+class BPREngine(Engine):
+    def __init__(
+        self,
+        config: BPRConfig,
+        metrics_engine=None,
+        eval_num_neg: int = 3,
+        eval_seed: int = 42,
+    ):
+        self.config = config
+        self.metrics_engine = metrics_engine
+        self.eval_num_neg = eval_num_neg
+        self.eval_seed = eval_seed
+        self.dtype = jnp.dtype(config.dtype)
+        self.learning_rate = config.init_learning_rate
+
+        self.user_index: Optional[IdIndex] = None
+        self.item_index: Optional[IdIndex] = None
+        self.params: Optional[BPRParams] = None
+        self._data_users: Optional[np.ndarray] = None  # (n,) positive pairs
+        self._data_items: Optional[np.ndarray] = None
+        self._pos_set = None  # CSR per-user positive sets (device)
+        self._eval_set: Optional[tuple] = None  # (users, pos, neg) device
+        self._test_eval_set: Optional[tuple] = None
+        self.test_users: Optional[np.ndarray] = None
+        self.test_labels: Optional[np.ndarray] = None
+        self._shuffle_rng = np.random.default_rng(config.init_seed)
+        self._step_key = jax.random.PRNGKey(config.init_seed)
+
+        if (
+            metrics_engine is not None
+            and metrics_engine.test_avg_metrics
+            and metrics_engine.config.num_test_users == 0
+        ):
+            log.warning(
+                "computing average test metrics on all users can be slow! "
+                "Set num_test_users > 0 to sample some of them"
+            )
+
+    @property
+    def nusers(self) -> int:
+        return self.user_index.size if self.user_index else 0
+
+    @property
+    def nitems(self) -> int:
+        return self.item_index.size if self.item_index else 0
+
+    # --- lifecycle -----------------------------------------------------------
+    def init(self, dataset: Dataset) -> None:
+        if self.params is not None:
+            raise RuntimeError("engine was already initialized with train data")
+        cfg = self.config
+        # positives: value >= 1.0, ids indexed in first-appearance order
+        keep = dataset.values >= 1.0
+        users_raw = dataset.user_ids[keep]
+        items_raw = dataset.item_ids[keep]
+        self.user_index = IdIndex.from_first_occurrence(users_raw)
+        self.item_index = IdIndex.from_first_occurrence(items_raw)
+        self._data_users = self.user_index.lookup(users_raw).astype(np.int32)
+        self._data_items = self.item_index.lookup(items_raw).astype(np.int32)
+
+        self._pos_set = bpr_ops.make_pos_set(
+            self._data_users, self._data_items, self.nusers
+        )
+
+        # fixed seeded train eval set (reference BPREngine.cpp:84-87)
+        rng = np.random.default_rng(self.eval_seed)
+        ev_u = np.repeat(self._data_users, self.eval_num_neg)
+        ev_p = np.repeat(self._data_items, self.eval_num_neg)
+        ev_n = bpr_ops.sample_negatives_host(
+            rng, ev_u, self._data_users, self._data_items, self.nitems
+        )
+        self._eval_set = (
+            jnp.asarray(ev_u.astype(np.int32)),
+            jnp.asarray(ev_p.astype(np.int32)),
+            jnp.asarray(ev_n.astype(np.int32)),
+        )
+
+        # model init (reference BPREngine.cpp:89-104)
+        self.learning_rate = cfg.init_learning_rate
+        init_rng = np.random.default_rng(cfg.init_seed)
+        bound = cfg.init_distribution_bound
+        uf = init_rng.uniform(-bound, bound, size=(self.nusers, cfg.nfactors))
+        itf = init_rng.uniform(-bound, bound, size=(self.nitems, cfg.nfactors))
+        ib = (
+            init_rng.uniform(-bound, bound, size=self.nitems)
+            if cfg.use_biases
+            else np.zeros(self.nitems)
+        )
+        self.params = BPRParams(
+            jnp.asarray(uf, dtype=self.dtype),
+            jnp.asarray(itf, dtype=self.dtype),
+            jnp.asarray(ib, dtype=self.dtype),
+        )
+
+    def init_test(self, test_dataset: Dataset) -> None:
+        if self._test_eval_set is not None:
+            raise RuntimeError("engine was already initialized with test data")
+        uidx = self.user_index.lookup(test_dataset.user_ids)
+        iidx = self.item_index.lookup(test_dataset.item_ids)
+        valid = (
+            (test_dataset.values >= 1.0)
+            & (uidx != MISSING_IDX)
+            & (iidx != MISSING_IDX)
+        )
+        t_users = uidx[valid].astype(np.int32)
+        t_items = iidx[valid].astype(np.int32)
+
+        # negatives rejected against the TEST positive map only
+        # (reference BPREngine.cpp:126-136, useTestItemMap=true)
+        rng = np.random.default_rng(self.eval_seed)
+        ev_u = np.repeat(t_users, self.eval_num_neg)
+        ev_p = np.repeat(t_items, self.eval_num_neg)
+        if len(ev_u):
+            ev_n = bpr_ops.sample_negatives_host(
+                rng, ev_u, t_users, t_items, self.nitems
+            )
+        else:
+            ev_n = np.zeros(0, dtype=np.int64)
+        self._test_eval_set = (
+            jnp.asarray(ev_u.astype(np.int32)),
+            jnp.asarray(ev_p.astype(np.int32)),
+            jnp.asarray(ev_n.astype(np.int32)),
+        )
+
+        if self.metrics_engine is not None and self.metrics_engine.test_avg_metrics:
+            self.test_users, self.test_labels = self.init_avg_test_data(
+                test_dataset,
+                self.user_index,
+                self.item_index,
+                self.metrics_engine.config.num_test_users,
+                self.metrics_engine.config.seed,
+            )
+
+    # --- training -------------------------------------------------------------
+    def _epoch(self) -> None:
+        cfg = self.config
+        # triplets = each positive pair repeated num_negative_samples times
+        # (reference iterate() samples num_neg negatives per positive,
+        # BPREngine-inl.h:21-29)
+        users = np.repeat(self._data_users, cfg.num_negative_samples)
+        items = np.repeat(self._data_items, cfg.num_negative_samples)
+        total = len(users)
+        bs = cfg.batch_size
+        lr = jnp.asarray(self.learning_rate, dtype=self.dtype)
+        ul = jnp.asarray(cfg.user_lambda, dtype=self.dtype)
+        il = jnp.asarray(cfg.item_lambda, dtype=self.dtype)
+        bl = jnp.asarray(cfg.bias_lambda, dtype=self.dtype)
+
+        for start in range(0, total, bs):
+            chunk_u = users[start : start + bs]
+            chunk_i = items[start : start + bs]
+            b = len(chunk_u)
+            if b < bs:  # pad the tail batch; padded rows carry zero weight
+                pad = bs - b
+                chunk_u = np.concatenate([chunk_u, np.zeros(pad, np.int32)])
+                chunk_i = np.concatenate([chunk_i, np.zeros(pad, np.int32)])
+            weight = np.zeros(bs, dtype=np.float32)
+            weight[:b] = 1.0
+            self._step_key, sub = jax.random.split(self._step_key)
+            self.params = bpr_ops.sgd_step(
+                self.params,
+                sub,
+                jnp.asarray(chunk_u.astype(np.int32)),
+                jnp.asarray(chunk_i.astype(np.int32)),
+                jnp.asarray(weight, dtype=self.dtype),
+                self._pos_set,
+                lr,
+                ul,
+                il,
+                bl,
+                n_items=self.nitems,
+                use_biases=cfg.use_biases,
+                neg_rounds=cfg.neg_resample_rounds,
+            )
+
+    def optimize(self) -> None:
+        if self.params is None:
+            raise RuntimeError(
+                "no factor data, have you initialized the engine?"
+            )
+        cfg = self.config
+        for epoch in range(1, cfg.nepochs + 1):
+            t0 = time.time()
+            self._epoch()
+            # divergence guard (reference CHECK(isfinite), BPREngine.cpp:184)
+            if not bool(jnp.all(jnp.isfinite(self.params.user_factors))):
+                raise FloatingPointError(
+                    "gradients too big, try decreasing the learning rate "
+                    "(--init_learning_rate)"
+                )
+            self.evaluate(epoch, elapsed=time.time() - t0)
+            if cfg.decay_rate < 1.0:
+                self.learning_rate *= cfg.decay_rate
+            if cfg.shuffle_training_set:
+                perm = self._shuffle_rng.permutation(len(self._data_users))
+                self._data_users = self._data_users[perm]
+                self._data_items = self._data_items[perm]
+
+    def evaluate(self, epoch: int, elapsed: float = 0.0) -> None:
+        cfg = self.config
+        train_loss = (
+            float(
+                bpr_ops.eval_loss(
+                    self.params, *self._eval_set, use_biases=cfg.use_biases
+                )
+            )
+            if self._eval_set is not None and self._eval_set[0].shape[0]
+            else -1.0
+        )
+        test_loss = (
+            float(
+                bpr_ops.eval_loss(
+                    self.params, *self._test_eval_set, use_biases=cfg.use_biases
+                )
+            )
+            if self._test_eval_set is not None and self._test_eval_set[0].shape[0]
+            else -1.0
+        )
+        log.info(
+            "epoch %d: train loss = %.10g, test loss = %.10g (%.3fs)",
+            epoch,
+            train_loss,
+            test_loss,
+            elapsed,
+        )
+
+        me = self.metrics_engine
+        if (
+            me is not None
+            and me.test_avg_metrics
+            and self.test_users is not None
+            and len(self.test_users)
+            and (me.config.always_compute or epoch == cfg.nepochs)
+        ):
+            scores = als_ops.compute_scores(
+                self.params.user_factors,
+                self.params.item_factors,
+                item_biases=(
+                    self.params.item_biases if cfg.use_biases else None
+                ),
+                user_idx=jnp.asarray(self.test_users),
+            )
+            me.compute_and_record_test_avg_metrics(
+                epoch, self.test_labels, scores
+            )
+
+    # --- output ----------------------------------------------------------------
+    def save_user_factors(self, file_name: str) -> None:
+        if self.params is None:
+            raise RuntimeError("user factors wasn't initialized")
+        self.save_factor_data(
+            np.asarray(self.params.user_factors, dtype=np.float64),
+            self.user_index,
+            file_name,
+        )
+
+    def save_item_factors(self, file_name: str) -> None:
+        if self.params is None:
+            raise RuntimeError("item factors wasn't initialized")
+        self.save_factor_data(
+            np.asarray(self.params.item_factors, dtype=np.float64),
+            self.item_index,
+            file_name,
+            biases=(
+                np.asarray(self.params.item_biases, dtype=np.float64)
+                if self.config.use_biases
+                else None
+            ),
+        )

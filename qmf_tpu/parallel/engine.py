@@ -1,0 +1,112 @@
+"""ShardedWALSEngine: WALS training SPMD-sharded over a device mesh.
+
+Drop-in WALSEngine with the solve-row axis of every degree bucket sharded
+over a ``jax.sharding.Mesh``. Functionally identical to the single-chip
+engine (same math, same loss; tested for equality on a virtual multi-device
+CPU mesh) — the distribution is purely a data-layout annotation, the
+opposite of the reference where distribution was a second codebase
+(reference distributed/, ~2,600 LoC of sockets and buckets).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from qmf_tpu.config import WALSConfig
+from qmf_tpu.data.dataset import Dataset
+from qmf_tpu.data.factor_io import FactorData
+from qmf_tpu.data.id_index import IdIndex
+from qmf_tpu.models.wals import WALSEngine
+from qmf_tpu.ops.packing import pack_buckets, packed_stats
+from qmf_tpu.parallel.mesh import make_mesh
+from qmf_tpu.parallel.sharded_wals import ShardedBuckets, iterate_side_sharded
+from qmf_tpu.utils.logging import log
+
+
+class ShardedWALSEngine(WALSEngine):
+    def __init__(
+        self,
+        config: WALSConfig,
+        metrics_engine=None,
+        mesh: Optional[Mesh] = None,
+        n_devices: Optional[int] = None,
+    ):
+        super().__init__(config, metrics_engine)
+        self.mesh = mesh if mesh is not None else make_mesh(n_devices)
+        self.axis_name = self.mesh.axis_names[0]
+
+    def init(self, dataset: Dataset) -> None:
+        if self.user_factors is not None or self.item_factors is not None:
+            raise RuntimeError("engine was already initialized with train data")
+        cfg = self.config
+        self.user_index = IdIndex.from_sorted_ids(dataset.user_ids)
+        self.item_index = IdIndex.from_sorted_ids(dataset.item_ids)
+        rows = self.user_index.lookup(dataset.user_ids)
+        cols = self.item_index.lookup(dataset.item_ids)
+
+        # every bucket's row count divides the mesh so the shard is even
+        row_multiple = 8 * self.mesh.size
+        user_buckets = pack_buckets(
+            rows, cols, dataset.values, self.nusers, cfg.batch_rows,
+            row_multiple=row_multiple,
+        )
+        item_buckets = pack_buckets(
+            cols, rows, dataset.values, self.nitems, cfg.batch_rows,
+            row_multiple=row_multiple,
+        )
+        log.info(
+            "sharded packing over %d devices: users %s, items %s",
+            self.mesh.size,
+            packed_stats(user_buckets),
+            packed_stats(item_buckets),
+        )
+        self._user_buckets = ShardedBuckets(
+            user_buckets, self.mesh, self.dtype, self.axis_name
+        )
+        self._item_buckets = ShardedBuckets(
+            item_buckets, self.mesh, self.dtype, self.axis_name
+        )
+
+        item_init = FactorData(self.nitems, cfg.nfactors)
+        if cfg.distribution_file:
+            item_init.set_factors_from_file(cfg.distribution_file)
+        else:
+            item_init.set_factors_uniform(
+                cfg.init_distribution_bound, np.random.default_rng(cfg.init_seed)
+            )
+        repl = NamedSharding(self.mesh, P())
+        self.item_factors = jax.device_put(
+            jnp.asarray(item_init.factors, dtype=self.dtype), repl
+        )
+        self.user_factors = jax.device_put(
+            jnp.zeros((self.nusers, cfg.nfactors), dtype=self.dtype), repl
+        )
+
+    def _iterate(self, side: str) -> float:
+        cfg = self.config
+        if side == "user":
+            fixed, buckets, n = self.item_factors, self._user_buckets, self.nusers
+        else:
+            fixed, buckets, n = self.user_factors, self._item_buckets, self.nitems
+        new_factors, total_loss = iterate_side_sharded(
+            fixed,
+            buckets,
+            n,
+            cfg.nfactors,
+            cfg.confidence_weight,
+            cfg.regularization_lambda,
+            self.mesh,
+            solver=cfg.solver,
+            dtype=self.dtype,
+            axis_name=self.axis_name,
+        )
+        if side == "user":
+            self.user_factors = new_factors
+        else:
+            self.item_factors = new_factors
+        return total_loss / self.nusers / self.nitems

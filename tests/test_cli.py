@@ -1,0 +1,152 @@
+"""CLI integration tests (round-trip coverage the reference never had)."""
+
+import numpy as np
+import pytest
+
+from qmf_tpu.cli import gen_uniform as gen_uniform_cli
+from qmf_tpu.cli import wals as wals_cli
+from qmf_tpu.data import load_factors, read_dataset
+
+
+@pytest.fixture
+def small_data(tmp_path):
+    rng = np.random.default_rng(0)
+    train, test = [], []
+    for u in range(30):
+        liked = list(range(0, 20)) if u % 2 == 0 else list(range(20, 40))
+        picks = rng.choice(liked, size=14, replace=False)
+        for i in picks[:10]:
+            train.append(f"{u + 1} {i + 1} {rng.integers(1, 6)}\n")
+        for i in picks[10:]:
+            test.append(f"{u + 1} {i + 1} 1\n")
+    train_p = tmp_path / "train.txt"
+    test_p = tmp_path / "test.txt"
+    train_p.write_text("".join(train))
+    test_p.write_text("".join(test))
+    return train_p, test_p
+
+
+class TestWalsCli:
+    def test_end_to_end(self, tmp_path, small_data):
+        train_p, test_p = small_data
+        user_p = tmp_path / "user.dat"
+        item_p = tmp_path / "item.dat"
+        rc = wals_cli.main(
+            [
+                f"--train_dataset={train_p}",
+                f"--test_dataset={test_p}",
+                "--nepochs=3",
+                "--nfactors=6",
+                "--test_avg_metrics=auc,p@5",
+                "--test_always",
+                f"--user_factors={user_p}",
+                f"--item_factors={item_p}",
+            ]
+        )
+        assert rc == 0
+        ids, fd = load_factors(str(user_p))
+        assert len(ids) == 30 and fd.nfactors == 6
+        # ids are the raw ids, ascending (sorted-id index order)
+        assert list(ids) == sorted(ids.tolist())
+        ids_i, fd_i = load_factors(str(item_p))
+        assert len(ids_i) == 40
+
+    def test_reference_gflags_syntax(self, tmp_path, small_data):
+        train_p, _ = small_data
+        # single-dash gflags style, as in the reference examples/README.md
+        rc = wals_cli.main(
+            [
+                f"-train_dataset={train_p}",
+                "-nepochs=1",
+                "-nfactors=4",
+                f"-user_factors={tmp_path / 'u.dat'}",
+                f"-item_factors={tmp_path / 'i.dat'}",
+            ]
+        )
+        assert rc == 0
+
+    def test_unknown_metric_fails(self, tmp_path, small_data):
+        train_p, _ = small_data
+        rc = wals_cli.main(
+            [
+                f"--train_dataset={train_p}",
+                "--test_avg_metrics=bogus",
+            ]
+        )
+        assert rc == 1
+
+    def test_distribution_file_reproducible(self, tmp_path, small_data):
+        train_p, _ = small_data
+        dist = tmp_path / "uniform.dat"
+        gen_uniform_cli.main(["50000", str(dist), "--seed=3"])
+        outs = []
+        for run in range(2):
+            user_p = tmp_path / f"user{run}.dat"
+            item_p = tmp_path / f"item{run}.dat"
+            rc = wals_cli.main(
+                [
+                    f"--train_dataset={train_p}",
+                    f"--distribution_file={dist}",
+                    "--nepochs=2",
+                    "--nfactors=4",
+                    f"--user_factors={user_p}",
+                    f"--item_factors={item_p}",
+                ]
+            )
+            assert rc == 0
+            outs.append((user_p.read_text(), item_p.read_text()))
+        # bit-identical across runs — the reference's golden technique
+        assert outs[0] == outs[1]
+
+
+class TestGenUniformCli:
+    def test_count_and_file(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        rc = gen_uniform_cli.main(["123"])
+        assert rc == 0
+        vals = np.loadtxt("uniform.dat")
+        assert vals.shape == (123,)
+        assert np.all(np.abs(vals) <= 0.01)
+
+
+class TestBprCli:
+    def test_end_to_end_with_biases_and_metrics(self, tmp_path, small_data):
+        from qmf_tpu.cli import bpr as bpr_cli
+
+        train_p, test_p = small_data
+        user_p = tmp_path / "bu.dat"
+        item_p = tmp_path / "bi.dat"
+        rc = bpr_cli.main(
+            [
+                f"--train_dataset={train_p}",
+                f"--test_dataset={test_p}",
+                "--nepochs=3",
+                "--nfactors=6",
+                "--use_biases",
+                "--batch_size=128",
+                "--test_avg_metrics=auc,ap,p@10,r@10",
+                "--test_always",
+                f"--user_factors={user_p}",
+                f"--item_factors={item_p}",
+            ]
+        )
+        assert rc == 0
+        from qmf_tpu.data import load_factors
+
+        ids, fd = load_factors(str(item_p), with_biases=True)
+        assert fd.with_biases and fd.nfactors == 6
+
+    def test_hogwild_flag_accepted(self, tmp_path, small_data):
+        from qmf_tpu.cli import bpr as bpr_cli
+
+        train_p, _ = small_data
+        rc = bpr_cli.main(
+            [
+                f"-train_dataset={train_p}",
+                "-nepochs=1",
+                "-nfactors=4",
+                "-num_hogwild_threads=8",
+                "-batch_size=64",
+            ]
+        )
+        assert rc == 0
