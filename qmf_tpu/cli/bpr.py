@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import sys
 
-from qmf_tpu.cli.common import enable_compilation_cache
+from qmf_tpu.cli.common import configure_platform, enable_compilation_cache
 from qmf_tpu.config import BPRConfig, MetricsConfig
 from qmf_tpu.data import read_dataset
 from qmf_tpu.metrics import MetricsEngine
@@ -94,6 +94,7 @@ def make_flags() -> Flags:
 def main(argv=None) -> int:
     fl = make_flags()
     fl.parse(argv)
+    configure_platform()
     enable_compilation_cache()
 
     if not fl.user_factors or not fl.item_factors:

@@ -5,6 +5,17 @@ from __future__ import annotations
 import os
 
 
+def configure_platform() -> None:
+    """Honor QMF_TPU_PLATFORM=cpu|tpu|... even when the surrounding
+    environment pinned JAX_PLATFORMS before interpreter start (some
+    deployments capture it in sitecustomize, making the env var a no-op)."""
+    platform = os.environ.get("QMF_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def enable_compilation_cache() -> None:
     """Enable jax's persistent compilation cache for fast repeat CLI runs.
 

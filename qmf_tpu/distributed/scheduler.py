@@ -1,0 +1,267 @@
+"""Scheduler: job-queue daemon for distributed WALS training.
+
+TPU-native re-design of the reference Scheduler + RunOneTask (reference
+distributed/scheduler/Scheduler.cpp, RunOneTask.cpp). What changed and why:
+
+- The reference scheduler was also the data plane: it broadcast the dataset
+  and fixed factors over TCP and scattered 10k-row buckets to labors
+  (RunOneTask.cpp:91-150). Here the data plane is SPMD over the TPU mesh
+  (qmf_tpu/parallel/) — compute never leaves the accelerators — so the
+  scheduler keeps only the control plane: task queue, labor liveness,
+  status, and failure recovery.
+- select(2) loop + per-connection read state machine (Scheduler.cpp:112-223,
+  Connection.cpp:26-106) -> asyncio streams.
+- EQueue task queue (common/EQueue.h) -> asyncio.Queue consumed by a
+  single runner task (the reference also ran one task at a time,
+  Scheduler.cpp:395-417).
+- Heartbeat/recovery: per-labor timestamps refreshed on any message; labors
+  stale for > HEARTBEAT_INTERVAL_S get a heartbeat probe and report their
+  (taskid, epoch) back (kInfoRsp analog); dead labors are dropped
+  (Scheduler.cpp:363-393). Intra-task recovery is per-epoch
+  checkpoint/resume (qmf_tpu/utils/checkpoint.py) instead of per-bucket
+  reassignment — the epoch is the recovery unit because it is one device
+  program.
+- wals_submit sent a task-file *path* and assumed a shared filesystem
+  (reference wals_submit.cpp:27-91, Connection.cpp:152-156). Here submit
+  sends the TextFormat *content* (path mode still accepted for
+  compatibility).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import time
+from typing import Any, Dict, Optional
+
+from qmf_tpu.distributed import protocol
+from qmf_tpu.distributed.taskdef import TaskDef, load_taskdef, parse_taskdef
+from qmf_tpu.utils.logging import log
+
+
+class LaborInfo:
+    def __init__(self, peer: str):
+        self.peer = peer
+        self.last_seen = time.monotonic()
+        self.taskid: int = 0
+        self.epoch: int = 0
+        self.writer: Optional[asyncio.StreamWriter] = None
+
+    def touch(self):
+        self.last_seen = time.monotonic()
+
+    @property
+    def stale_s(self) -> float:
+        return time.monotonic() - self.last_seen
+
+
+class Scheduler:
+    """Async TCP server + task runner."""
+
+    def __init__(
+        self,
+        host: str = "0.0.0.0",
+        port: int = 8900,
+        runner=None,
+        heartbeat_interval: float = protocol.HEARTBEAT_INTERVAL_S,
+    ):
+        self.host = host
+        self.port = port
+        self.labors: Dict[str, LaborInfo] = {}
+        self.queue: asyncio.Queue = asyncio.Queue()
+        self.history: list = []
+        self.current: Optional[Dict[str, Any]] = None
+        self.taskid = 0
+        self._runner = runner if runner is not None else run_task
+        self._hb_interval = heartbeat_interval
+        self._server: Optional[asyncio.AbstractServer] = None
+        self._tasks: list = []
+
+    # --- lifecycle ---------------------------------------------------------
+    async def start(self) -> None:
+        self._server = await asyncio.start_server(
+            self._handle_client, self.host, self.port
+        )
+        self.port = self._server.sockets[0].getsockname()[1]
+        self._tasks.append(asyncio.create_task(self._task_runner_loop()))
+        self._tasks.append(asyncio.create_task(self._heartbeat_loop()))
+        log.info("scheduler listening on %s:%d", self.host, self.port)
+
+    async def stop(self) -> None:
+        for t in self._tasks:
+            t.cancel()
+        if self._server:
+            self._server.close()
+            await self._server.wait_closed()
+
+    async def serve_forever(self) -> None:
+        await self.start()
+        await self._server.serve_forever()
+
+    # --- connection handling --------------------------------------------------
+    async def _handle_client(
+        self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter
+    ) -> None:
+        peer = "%s:%d" % writer.get_extra_info("peername")[:2]
+        try:
+            while True:
+                msg = await protocol.read_frame(reader)
+                if msg is None:
+                    break
+                if peer in self.labors:
+                    self.labors[peer].touch()
+                reply = await self._dispatch(msg, peer, writer)
+                if reply is not None:
+                    await protocol.write_frame(writer, reply)
+        except (protocol.ProtocolError, ConnectionError) as e:
+            log.warning("connection %s dropped: %s", peer, e)
+        finally:
+            if peer in self.labors:
+                del self.labors[peer]
+                log.info("labor %s detached (%d left)", peer, len(self.labors))
+            writer.close()
+
+    async def _dispatch(
+        self, msg: Dict[str, Any], peer: str, writer: asyncio.StreamWriter
+    ) -> Optional[Dict[str, Any]]:
+        kind = msg.get("kind")
+        if kind == "submit_task":
+            return await self._on_submit(msg)
+        if kind == "attach_labor":
+            info = LaborInfo(peer)
+            info.writer = writer
+            self.labors[peer] = info
+            log.info("labor %s attached (%d total)", peer, len(self.labors))
+            return {"kind": "attach_labor_rsp", "status": "OK", "peer": peer}
+        if kind == "info_rsp":
+            if peer in self.labors:
+                self.labors[peer].taskid = msg.get("taskid", 0)
+                self.labors[peer].epoch = msg.get("epoch", 0)
+            return None
+        if kind == "status":
+            return {
+                "kind": "status_rsp",
+                "queued": self.queue.qsize(),
+                "current": self.current,
+                "labors": {
+                    p: {
+                        "stale_s": round(li.stale_s, 1),
+                        "taskid": li.taskid,
+                        "epoch": li.epoch,
+                    }
+                    for p, li in self.labors.items()
+                },
+                "history": self.history[-20:],
+            }
+        if kind == "heartbeat":
+            return {"kind": "info_rsp", "taskid": self.taskid, "epoch": 0}
+        return {"kind": "error", "message": f"unknown kind {kind!r}"}
+
+    async def _on_submit(self, msg: Dict[str, Any]) -> Dict[str, Any]:
+        try:
+            if "task_text" in msg:
+                td = parse_taskdef(msg["task_text"])
+            elif "task_path" in msg:  # reference compatibility mode
+                td = load_taskdef(msg["task_path"])
+            elif "task" in msg:
+                td = TaskDef.from_dict(msg["task"])
+                td.validate()
+            else:
+                raise ValueError("submit_task needs task_text|task_path|task")
+        except (ValueError, OSError) as e:
+            return {"kind": "submit_task_rsp", "status": "FAIL", "error": str(e)}
+        self.taskid += 1
+        item = {"taskid": self.taskid, "task": td.to_dict(), "state": "queued"}
+        await self.queue.put(item)
+        log.info("task %d queued: %s", self.taskid, td.train_set)
+        return {"kind": "submit_task_rsp", "status": "OK", "taskid": self.taskid}
+
+    # --- background loops -------------------------------------------------------
+    async def _task_runner_loop(self) -> None:
+        while True:
+            item = await self.queue.get()
+            self.current = item
+            item["state"] = "running"
+            item["started"] = time.time()
+            await self._announce_task(item)
+            try:
+                td = TaskDef.from_dict(item["task"])
+                result = await asyncio.to_thread(self._runner, td, item["taskid"])
+                item["state"] = "done"
+                item["result"] = result
+            except Exception as e:  # task failures must not kill the daemon
+                log.error("task %d failed: %s", item["taskid"], e)
+                item["state"] = "failed"
+                item["error"] = str(e)
+            item["finished"] = time.time()
+            self.history.append(
+                {k: item[k] for k in item if k not in ("task",)}
+            )
+            self.current = None
+
+    async def _announce_task(self, item: Dict[str, Any]) -> None:
+        """Tell attached labors which task is active (kPushRate-era sync,
+        control part only — the data rides the accelerator interconnect)."""
+        dead = []
+        for peer, li in self.labors.items():
+            try:
+                await protocol.write_frame(
+                    li.writer,
+                    {
+                        "kind": "task_announce",
+                        "taskid": item["taskid"],
+                        "task": item["task"],
+                    },
+                )
+            except (ConnectionError, RuntimeError):
+                dead.append(peer)
+        for peer in dead:
+            del self.labors[peer]
+
+    async def _heartbeat_loop(self) -> None:
+        while True:
+            await asyncio.sleep(min(self._hb_interval / 3, 1.0))
+            dead = []
+            for peer, li in self.labors.items():
+                if li.stale_s > self._hb_interval:
+                    try:
+                        await protocol.write_frame(
+                            li.writer, {"kind": "heartbeat"}
+                        )
+                        li.touch()  # probe sent; labor gets one interval to reply
+                    except (ConnectionError, RuntimeError):
+                        dead.append(peer)
+            for peer in dead:
+                log.warning("labor %s dead, dropping", peer)
+                del self.labors[peer]
+
+
+def run_task(td: TaskDef, taskid: int) -> Dict[str, Any]:
+    """Execute one training task on the local mesh (the RunOneTask analog,
+    reference RunOneTask.cpp:38-158) with per-epoch checkpoint/resume."""
+    import jax
+
+    from qmf_tpu.config import WALSConfig
+    from qmf_tpu.data import read_dataset
+    from qmf_tpu.parallel import ShardedWALSEngine
+
+    cfg = WALSConfig(
+        nepochs=td.nepochs,
+        nfactors=td.nfactors,
+        regularization_lambda=td.regularization_lambda,
+        confidence_weight=td.confidence_weight,
+        init_distribution_bound=td.init_distribution_bound,
+        distribution_file=td.distribution_file,
+    )
+    engine = ShardedWALSEngine(cfg)
+    engine.init(read_dataset(td.train_set))
+    engine.enable_checkpointing(f"{td.user_factors}.ckpt_task{taskid}")
+    t0 = time.time()
+    engine.optimize()
+    engine.save_user_factors(td.user_factors)
+    engine.save_item_factors(td.item_factors)
+    return {
+        "nusers": engine.nusers,
+        "nitems": engine.nitems,
+        "devices": len(jax.devices()),
+        "wall_s": round(time.time() - t0, 3),
+    }

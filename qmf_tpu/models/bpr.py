@@ -217,13 +217,57 @@ class BPREngine(Engine):
                 neg_rounds=cfg.neg_resample_rounds,
             )
 
+    def enable_checkpointing(self, directory: str, every: int = 1) -> None:
+        """Per-epoch checkpoint + auto-resume (qmf_tpu/utils/checkpoint)."""
+        self._ckpt_dir = directory
+        self._ckpt_every = max(1, every)
+
+    def _maybe_resume(self) -> int:
+        from qmf_tpu.utils import checkpoint as ckpt
+
+        directory = getattr(self, "_ckpt_dir", None)
+        if not directory:
+            return 1
+        path = ckpt.latest_checkpoint(directory)
+        if path is None:
+            return 1
+        epoch, arrays, meta = ckpt.load_checkpoint(path)
+        self.params = BPRParams(
+            jnp.asarray(arrays["user_factors"], dtype=self.dtype),
+            jnp.asarray(arrays["item_factors"], dtype=self.dtype),
+            jnp.asarray(arrays["item_biases"], dtype=self.dtype),
+        )
+        self.learning_rate = float(meta["learning_rate"])
+        log.info("resumed from %s at epoch %d", path, epoch)
+        return epoch + 1
+
+    def _maybe_checkpoint(self, epoch: int) -> None:
+        from qmf_tpu.utils import checkpoint as ckpt
+
+        directory = getattr(self, "_ckpt_dir", None)
+        if directory and epoch % getattr(self, "_ckpt_every", 1) == 0:
+            ckpt.save_checkpoint(
+                directory,
+                epoch,
+                {
+                    "user_factors": np.asarray(self.params.user_factors),
+                    "item_factors": np.asarray(self.params.item_factors),
+                    "item_biases": np.asarray(self.params.item_biases),
+                },
+                meta={
+                    "engine": "bpr",
+                    "learning_rate": self.learning_rate,
+                },
+            )
+
     def optimize(self) -> None:
         if self.params is None:
             raise RuntimeError(
                 "no factor data, have you initialized the engine?"
             )
         cfg = self.config
-        for epoch in range(1, cfg.nepochs + 1):
+        start_epoch = self._maybe_resume()
+        for epoch in range(start_epoch, cfg.nepochs + 1):
             t0 = time.time()
             self._epoch()
             # divergence guard (reference CHECK(isfinite), BPREngine.cpp:184)
@@ -233,6 +277,7 @@ class BPREngine(Engine):
                     "(--init_learning_rate)"
                 )
             self.evaluate(epoch, elapsed=time.time() - t0)
+            self._maybe_checkpoint(epoch)
             if cfg.decay_rate < 1.0:
                 self.learning_rate *= cfg.decay_rate
             if cfg.shuffle_training_set:

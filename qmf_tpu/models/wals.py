@@ -152,43 +152,75 @@ class WALSEngine(Engine):
             fixed, buckets, n = self.item_factors, self._user_buckets, self.nusers
         else:
             fixed, buckets, n = self.user_factors, self._item_buckets, self.nitems
-        yty = als_ops.gramian(fixed)
         alpha = jnp.asarray(cfg.confidence_weight, dtype=self.dtype)
         lam = jnp.asarray(cfg.regularization_lambda, dtype=self.dtype)
-
-        xs, ids, losses = [], [], []
-        for i in range(len(buckets)):
-            x, loss = als_ops.solve_bucket(
-                fixed,
-                yty,
-                buckets.col_idx[i],
-                buckets.values[i],
-                buckets.mask[i],
-                alpha,
-                lam,
-                solver=cfg.solver,
-            )
-            xs.append(x)
-            ids.append(buckets.row_ids[i])
-            losses.append(jnp.sum(loss))
-        new_factors = (
-            jnp.zeros((n, cfg.nfactors), dtype=self.dtype)
-            .at[jnp.concatenate(ids)]
-            .set(jnp.concatenate(xs), mode="drop")
+        arrays = [
+            (buckets.row_ids[i], buckets.col_idx[i], buckets.values[i],
+             buckets.mask[i])
+            for i in range(len(buckets))
+        ]
+        # one fused device program per half-epoch (single dispatch)
+        new_factors, loss = als_ops.half_epoch(
+            fixed, arrays, alpha, lam, cfg.solver, n
         )
-        total_loss = float(sum(losses))
+        total_loss = float(loss)
         if side == "user":
             self.user_factors = new_factors
         else:
             self.item_factors = new_factors
         return total_loss / self.nusers / self.nitems
 
+    def enable_checkpointing(self, directory: str, every: int = 1) -> None:
+        """Per-epoch checkpoint + auto-resume (see qmf_tpu/utils/checkpoint).
+
+        The recovery-semantics replacement for the reference's per-bucket
+        reassignment fault tolerance (RunOneTask.cpp:177-240).
+        """
+        self._ckpt_dir = directory
+        self._ckpt_every = max(1, every)
+
+    def _maybe_resume(self) -> int:
+        """Returns the first epoch to run (1 if no checkpoint)."""
+        from qmf_tpu.utils import checkpoint as ckpt
+
+        directory = getattr(self, "_ckpt_dir", None)
+        if not directory:
+            return 1
+        path = ckpt.latest_checkpoint(directory)
+        if path is None:
+            return 1
+        epoch, arrays, _ = ckpt.load_checkpoint(path)
+        self.user_factors = jnp.asarray(arrays["user_factors"], dtype=self.dtype)
+        self.item_factors = jnp.asarray(arrays["item_factors"], dtype=self.dtype)
+        self._place_factors()
+        log.info("resumed from %s at epoch %d", path, epoch)
+        return epoch + 1
+
+    def _place_factors(self) -> None:
+        """Placement hook; the sharded engine re-pins loaded factors."""
+
+    def _maybe_checkpoint(self, epoch: int) -> None:
+        from qmf_tpu.utils import checkpoint as ckpt
+
+        directory = getattr(self, "_ckpt_dir", None)
+        if directory and epoch % getattr(self, "_ckpt_every", 1) == 0:
+            ckpt.save_checkpoint(
+                directory,
+                epoch,
+                {
+                    "user_factors": np.asarray(self.user_factors),
+                    "item_factors": np.asarray(self.item_factors),
+                },
+                meta={"nfactors": self.config.nfactors, "engine": "wals"},
+            )
+
     def optimize(self) -> None:
         if self.user_factors is None or self.item_factors is None:
             raise RuntimeError(
                 "no factor data, have you initialized the engine?"
             )
-        for epoch in range(1, self.config.nepochs + 1):
+        start_epoch = self._maybe_resume()
+        for epoch in range(start_epoch, self.config.nepochs + 1):
             t0 = time.time()
             self._iterate("user")
             loss = self._iterate("item")
@@ -200,6 +232,7 @@ class WALSEngine(Engine):
                 time.time() - t0,
             )
             self.evaluate(epoch)
+            self._maybe_checkpoint(epoch)
 
     def evaluate(self, epoch: int) -> None:
         me = self.metrics_engine
@@ -211,9 +244,11 @@ class WALSEngine(Engine):
             and (me.config.always_compute or epoch == self.config.nepochs)
         ):
             log.info("do compute evaluate ...")
+            # slices are no-ops single-chip; the sharded engine keeps device
+            # factor matrices padded to a mesh-divisible height
             scores = als_ops.compute_scores(
-                self.user_factors,
-                self.item_factors,
+                self.user_factors[: self.nusers],
+                self.item_factors[: self.nitems],
                 user_idx=jnp.asarray(self.test_users),
             )
             me.compute_and_record_test_avg_metrics(
@@ -225,7 +260,7 @@ class WALSEngine(Engine):
         if self.user_factors is None:
             raise RuntimeError("user factors wasn't initialized")
         self.save_factor_data(
-            np.asarray(self.user_factors, dtype=np.float64),
+            np.asarray(self.user_factors, dtype=np.float64)[: self.nusers],
             self.user_index,
             file_name,
         )
@@ -234,7 +269,7 @@ class WALSEngine(Engine):
         if self.item_factors is None:
             raise RuntimeError("item factors wasn't initialized")
         self.save_factor_data(
-            np.asarray(self.item_factors, dtype=np.float64),
+            np.asarray(self.item_factors, dtype=np.float64)[: self.nitems],
             self.item_index,
             file_name,
         )

@@ -73,35 +73,67 @@ def solve_bucket(
     solver: str = "cholesky",
 ) -> Tuple[jax.Array, jax.Array]:
     """Solve one padded bucket of rows. Returns (x (B,k), loss (B,))."""
-    dtype = y.dtype
-    yg = y[col_idx]  # (B, D, k) gather of observed fixed factors
-    maskf = mask.astype(dtype)
-    w = alpha * values * maskf  # (B, D) = alpha * r (confidence - 1)
-    conf = maskf + w  # (B, D) = 1 + alpha * r on real entries
+    if solver not in ("cholesky", "lu"):
+        raise ValueError(f"unknown solver: {solver}")
+    return _solve_bucket_body(y, yty, col_idx, values, mask, alpha, lam, solver)
 
-    # b_u = sum_j (1 + alpha r) y_j
+
+def _solve_bucket_body(y, yty, col_idx, values, mask, alpha, lam, solver):
+    """Untraced body of solve_bucket (shared by the fused half-epoch)."""
+    dtype = y.dtype
+    yg = y[col_idx]
+    maskf = mask.astype(dtype)
+    w = alpha * values * maskf
+    conf = maskf + w
     b = jnp.einsum("bd,bdk->bk", conf, yg, precision=_PRECISION)
-    # B_u = YtY + sum_j alpha r y_j y_j^T   (pre-regularization A)
     a0 = yty[None] + jnp.einsum(
         "bdk,bd,bdl->bkl", yg, w, yg, precision=_PRECISION
     )
-    eye = jnp.eye(yty.shape[0], dtype=dtype)
-    a = a0 + lam * eye
-
-    if solver == "cholesky":
-        x = _solve_spd(a, b)
-    elif solver == "lu":
-        x = _solve_lu(a, b)
-    else:
-        raise ValueError(f"unknown solver: {solver}")
-
-    # exact reference loss: sum(1+alpha*r) - 2 x.b + x^T B x
+    a = a0 + lam * jnp.eye(yty.shape[0], dtype=dtype)
+    x = _solve_spd(a, b) if solver == "cholesky" else _solve_lu(a, b)
     loss = (
         jnp.sum(conf, axis=1)
         - 2.0 * jnp.einsum("bk,bk->b", x, b, precision=_PRECISION)
         + jnp.einsum("bk,bkl,bl->b", x, a0, x, precision=_PRECISION)
     )
     return x, loss
+
+
+def half_epoch_impl(
+    y: jax.Array,
+    bucket_arrays,  # list of (row_ids, col_idx, values, mask) tuples
+    alpha: jax.Array,
+    lam: jax.Array,
+    solver: str,
+    n_rows: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """One fused half-epoch: Gramian + every bucket solve + scatter, as ONE
+    device program (single dispatch; XLA schedules/overlaps the buckets).
+
+    Replaces reference WALSEngine::iterate (WALSEngine.cpp:165-218). Returns
+    (new factors (n_rows, k), summed un-normalized loss).
+
+    Sharded callers jit this with row-sharded bucket inputs and explicit
+    out_shardings; GSPMD then partitions the solves across the mesh and
+    inserts the fixed-side all-gather / Gramian psum automatically.
+    """
+    yty = gramian(y)
+    k = y.shape[1]
+    x_out = jnp.zeros((n_rows, k), dtype=y.dtype)
+    total_loss = jnp.zeros((), dtype=y.dtype)
+    for row_ids, col_idx, values, mask in bucket_arrays:
+        x, loss = _solve_bucket_body(
+            y, yty, col_idx, values, mask, alpha, lam, solver
+        )
+        # padding rows carry row_id == n_rows -> dropped
+        x_out = x_out.at[row_ids].set(x, mode="drop")
+        total_loss = total_loss + jnp.sum(loss)
+    return x_out, total_loss
+
+
+half_epoch = functools.partial(jax.jit, static_argnames=("solver", "n_rows"))(
+    half_epoch_impl
+)
 
 
 def iterate_side(
@@ -114,30 +146,22 @@ def iterate_side(
     solver: str = "cholesky",
     dtype=jnp.float32,
 ) -> Tuple[jax.Array, float]:
-    """One half-epoch: solve every row of one side given fixed factors y.
-
-    Replaces reference WALSEngine::iterate (WALSEngine.cpp:165-218). Returns
-    (new factors (n_rows, k) on device, summed un-normalized loss).
-    """
-    yty = gramian(y)
-    x_out = jnp.zeros((n_rows, nfactors), dtype=dtype)
+    """Convenience wrapper over :func:`half_epoch` for host-side buckets."""
+    del nfactors
+    arrays = [
+        (
+            jnp.asarray(b.row_ids),
+            jnp.asarray(b.col_idx),
+            jnp.asarray(b.values, dtype=dtype),
+            jnp.asarray(b.mask),
+        )
+        for b in buckets
+    ]
     alpha_arr = jnp.asarray(alpha, dtype=dtype)
     lam_arr = jnp.asarray(lam, dtype=dtype)
-    total_loss = jnp.zeros((), dtype=dtype)
-    for bucket in buckets:
-        x, loss = solve_bucket(
-            y,
-            yty,
-            bucket.col_idx,
-            bucket.values.astype(dtype) if bucket.values.dtype != dtype else bucket.values,
-            bucket.mask,
-            alpha_arr,
-            lam_arr,
-            solver=solver,
-        )
-        # padding rows carry row_id == n_rows -> dropped
-        x_out = x_out.at[bucket.row_ids].set(x, mode="drop")
-        total_loss = total_loss + jnp.sum(loss)
+    x_out, total_loss = half_epoch(
+        y, arrays, alpha_arr, lam_arr, solver, n_rows
+    )
     return x_out, float(total_loss)
 
 

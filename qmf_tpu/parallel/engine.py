@@ -39,6 +39,9 @@ class ShardedWALSEngine(WALSEngine):
         super().__init__(config, metrics_engine)
         self.mesh = mesh if mesh is not None else make_mesh(n_devices)
         self.axis_name = self.mesh.axis_names[0]
+        from qmf_tpu.parallel.sharded_wals import make_sharded_half_epoch
+
+        self._half_epoch_fn = make_sharded_half_epoch(self.mesh, self.axis_name)
 
     def init(self, dataset: Dataset) -> None:
         if self.user_factors is not None or self.item_factors is not None:
@@ -79,13 +82,29 @@ class ShardedWALSEngine(WALSEngine):
             item_init.set_factors_uniform(
                 cfg.init_distribution_bound, np.random.default_rng(cfg.init_seed)
             )
-        repl = NamedSharding(self.mesh, P())
+        # factors live row-sharded across the mesh between half-epochs (the
+        # fixed side is all-gathered inside the solve program); sharded
+        # layouts need mesh-divisible heights, so device factor matrices are
+        # zero-padded and sliced back at the framework boundary (the base
+        # engine slices [:nusers]/[:nitems] before eval/save).
+        from qmf_tpu.parallel.sharded_wals import pad_rows
+
+        self._pad_users = pad_rows(self.nusers, self.mesh)
+        self._pad_items = pad_rows(self.nitems, self.mesh)
+        item_f = np.zeros((self._pad_items, cfg.nfactors))
+        item_f[: self.nitems] = item_init.factors
+        row = NamedSharding(self.mesh, P(self.axis_name, None))
         self.item_factors = jax.device_put(
-            jnp.asarray(item_init.factors, dtype=self.dtype), repl
+            jnp.asarray(item_f, dtype=self.dtype), row
         )
         self.user_factors = jax.device_put(
-            jnp.zeros((self.nusers, cfg.nfactors), dtype=self.dtype), repl
+            jnp.zeros((self._pad_users, cfg.nfactors), dtype=self.dtype), row
         )
+
+    def _place_factors(self) -> None:
+        row = NamedSharding(self.mesh, P(self.axis_name, None))
+        self.user_factors = jax.device_put(self.user_factors, row)
+        self.item_factors = jax.device_put(self.item_factors, row)
 
     def _iterate(self, side: str) -> float:
         cfg = self.config
@@ -93,10 +112,11 @@ class ShardedWALSEngine(WALSEngine):
             fixed, buckets, n = self.item_factors, self._user_buckets, self.nusers
         else:
             fixed, buckets, n = self.user_factors, self._item_buckets, self.nitems
+        n_pad = self._pad_users if side == "user" else self._pad_items
         new_factors, total_loss = iterate_side_sharded(
             fixed,
             buckets,
-            n,
+            n_pad,
             cfg.nfactors,
             cfg.confidence_weight,
             cfg.regularization_lambda,
@@ -104,6 +124,7 @@ class ShardedWALSEngine(WALSEngine):
             solver=cfg.solver,
             dtype=self.dtype,
             axis_name=self.axis_name,
+            half_epoch_fn=self._half_epoch_fn,
         )
         if side == "user":
             self.user_factors = new_factors

@@ -9,16 +9,22 @@ protocol). The mapping (SURVEY.md section 2.6 P4, 5.8):
   mesh; each device holds only its shard (better than the reference, which
   replicates the whole dataset on every labor).
 - kPushFixed (fixed-factor broadcast each half-epoch, Scheduler.cpp:268-326)
-  -> the fixed factor side is replicated; when it was produced sharded, XLA
-  inserts one all-gather over ICI.
+  -> factor matrices live ROW-SHARDED between epochs; when one side becomes
+  the fixed side of a solve, GSPMD inserts one all-gather over ICI.
 - kCalc / kCalcRsp (dynamic 10k-row bucket scatter + row gather-back,
   RunOneTask.cpp:160-243) -> static row sharding of each degree-bucket;
-  solves run where the rows live and results stay on device. Because rows
-  inside a degree bucket have near-identical cost, static sharding is
-  load-balanced by construction — no dynamic work stealing needed.
-- YtY Gramian: computed from row-sharded Y as a per-shard k x k matmul
-  followed by one psum over ICI (replacing each labor's full OpenMP
-  computeXtX over the whole fixed matrix, Labor.cpp:297-307).
+  solves run where the rows live and the solved factors STAY sharded (the
+  gather-back disappears). Because rows inside a degree bucket have
+  near-identical cost, static sharding is load-balanced by construction —
+  no dynamic work stealing needed.
+- YtY Gramian: computable from a row-sharded Y as per-shard k x k matmuls
+  + one psum over ICI (sharded_gramian below; replaces each labor's full
+  OpenMP computeXtX over the whole fixed matrix, Labor.cpp:297-307).
+
+The per-bucket compute itself is the SAME fused program as single-chip
+(qmf_tpu.ops.als_ops.half_epoch_impl) — distribution is purely jit
+in/out_shardings, the opposite of the reference where distribution was a
+second 2,600-LoC codebase.
 
 Multi-host deployment uses jax.distributed (see qmf_tpu.distributed); this
 module is agnostic to whether mesh devices live on one host or many.
@@ -31,7 +37,6 @@ from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from qmf_tpu.ops import als_ops
@@ -76,26 +81,51 @@ class ShardedBuckets:
         ]
         self.mask = [jax.device_put(b.mask, row2) for b in buckets]
 
+    def arrays(self):
+        return [
+            (self.row_ids[i], self.col_idx[i], self.values[i], self.mask[i])
+            for i in range(len(self.row_ids))
+        ]
+
     def __len__(self):
         return len(self.row_ids)
 
 
-@functools.partial(jax.jit, static_argnames=("solver", "n_rows"))
-def _solve_and_scatter(
-    y, yty, col_idx, values, mask, alpha, lam, x_out, row_ids, solver, n_rows
-):
-    """solve_bucket + scatter of solved rows into the full factor matrix.
+def make_sharded_half_epoch(mesh: Mesh, axis_name: str = "d"):
+    """jit of the fused half-epoch with sharded outputs.
 
-    With bucket inputs row-sharded and y replicated, GSPMD partitions the
-    einsum/Cholesky across the mesh with no communication; the scatter into
-    the replicated x_out inserts the gather over ICI (the kCalcRsp analog —
-    except results move chip-to-chip, not over TCP to a scheduler).
+    Output factors come back row-sharded over the mesh (they feed the next
+    half-epoch as the fixed side, where GSPMD all-gathers them); the loss is
+    replicated. Sharded layouts need mesh-divisible heights, so the fixed
+    side is zero-padded inside the program (padding rows are never gathered
+    — column indices are < the true height) and ``n_rows`` is the PADDED
+    output height; callers slice factors back at the framework boundary.
     """
-    x, loss = als_ops.solve_bucket(
-        y, yty, col_idx, values, mask, alpha, lam, solver=solver
+    out_shardings = (
+        NamedSharding(mesh, P(axis_name, None)),
+        NamedSharding(mesh, P()),
     )
-    x_out = x_out.at[row_ids].set(x, mode="drop")
-    return x_out, jnp.sum(loss)
+
+    def padded_half_epoch(y, bucket_arrays, alpha, lam, solver, n_rows):
+        pad = (-y.shape[0]) % mesh.size
+        if pad:
+            y = jnp.concatenate(
+                [y, jnp.zeros((pad, y.shape[1]), dtype=y.dtype)]
+            )
+        return als_ops.half_epoch_impl(
+            y, bucket_arrays, alpha, lam, solver, n_rows
+        )
+
+    return jax.jit(
+        padded_half_epoch,
+        static_argnames=("solver", "n_rows"),
+        out_shardings=out_shardings,
+    )
+
+
+def pad_rows(n: int, mesh: Mesh) -> int:
+    """Smallest mesh-divisible height >= n."""
+    return n + ((-n) % mesh.size)
 
 
 def iterate_side_sharded(
@@ -109,28 +139,14 @@ def iterate_side_sharded(
     solver: str = "cholesky",
     dtype=jnp.float32,
     axis_name: str = "d",
+    half_epoch_fn=None,
 ) -> Tuple[jax.Array, float]:
-    """One sharded half-epoch; returns (replicated new factors, loss sum)."""
-    repl = NamedSharding(mesh, P())
-    y = jax.device_put(y, repl)
-    yty = sharded_gramian(y, mesh, axis_name)
+    """One sharded half-epoch; returns (row-sharded new factors, loss sum)."""
+    if half_epoch_fn is None:
+        half_epoch_fn = make_sharded_half_epoch(mesh, axis_name)
     alpha = jnp.asarray(alpha, dtype=dtype)
     lam = jnp.asarray(lam, dtype=dtype)
-    x_out = jax.device_put(jnp.zeros((n_rows, nfactors), dtype=dtype), repl)
-    total = 0.0
-    for i in range(len(buckets)):
-        x_out, loss = _solve_and_scatter(
-            y,
-            yty,
-            buckets.col_idx[i],
-            buckets.values[i],
-            buckets.mask[i],
-            alpha,
-            lam,
-            x_out,
-            buckets.row_ids[i],
-            solver,
-            n_rows,
-        )
-        total += float(loss)
-    return x_out, total
+    x_out, loss = half_epoch_fn(
+        y, buckets.arrays(), alpha, lam, solver, n_rows
+    )
+    return x_out, float(loss)

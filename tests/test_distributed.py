@@ -1,0 +1,290 @@
+"""Distributed control-plane tests.
+
+Coverage the reference never had: its distributed/ layer shipped with zero
+tests (SURVEY.md section 4). These run scheduler + labors + submit
+end-to-end in-process over real sockets (ephemeral ports), including the
+golden standalone-vs-distributed equality check from the reference workflow
+(reference examples/README.md:4-13).
+"""
+
+import asyncio
+import threading
+
+import numpy as np
+import pytest
+
+from qmf_tpu.distributed import protocol
+from qmf_tpu.distributed.labor import Labor
+from qmf_tpu.distributed.scheduler import Scheduler
+from qmf_tpu.distributed.submit import scheduler_status, submit_task_file
+from qmf_tpu.distributed.taskdef import TaskDef, load_taskdef, parse_taskdef
+
+
+class TestTaskDef:
+    def test_parses_reference_example_format(self):
+        text = (
+            'nepochs : 5\n'
+            'nfactors : 30\n'
+            'distribution_file : "../uniform.dat"\n'
+            'train_set : "../n_rating.csv"\n'
+            'user_factors : "./user_factors_vec.dat"\n'
+            'item_factors : "./item_factors_vec.dat"\n'
+        )
+        td = parse_taskdef(text)
+        assert td.nepochs == 5 and td.nfactors == 30
+        assert td.train_set == "../n_rating.csv"
+        assert td.distribution_file == "../uniform.dat"
+        # proto defaults preserved (task.proto:7-10)
+        assert td.regularization_lambda == 0.05
+        assert td.confidence_weight == 40.0
+
+    def test_missing_required_raises(self):
+        with pytest.raises(ValueError, match="required"):
+            parse_taskdef("nepochs : 5\n")
+
+    def test_unknown_field_raises(self):
+        with pytest.raises(ValueError, match="unknown field"):
+            parse_taskdef('bogus : 1\ntrain_set : "x"\n')
+
+    def test_comments_and_floats(self):
+        td = parse_taskdef(
+            "# job\nregularization_lambda : 0.1\n"
+            'train_set : "a"\nuser_factors : "b"\nitem_factors : "c"\n'
+        )
+        assert td.regularization_lambda == 0.1
+
+
+class TestProtocol:
+    def test_frame_roundtrip(self):
+        msg = {"kind": "status", "x": [1, 2, 3]}
+        raw = protocol.encode_frame(msg)
+        assert raw[:4] == protocol.MAGIC
+        import json
+        import struct
+
+        (length,) = struct.unpack(">I", raw[4:8])
+        assert json.loads(raw[8 : 8 + length].decode()) == msg
+
+    def test_bad_magic_rejected(self):
+        with pytest.raises(protocol.ProtocolError):
+            protocol._decode_head(b"XXXX\x00\x00\x00\x01")
+
+
+def _fake_runner(results):
+    def runner(td: TaskDef, taskid: int):
+        results.append((taskid, td.train_set))
+        return {"ok": True, "taskid": taskid}
+
+    return runner
+
+
+class SchedulerFixture:
+    """Runs a Scheduler on an ephemeral port in a background event loop."""
+
+    def __init__(self, runner=None, heartbeat_interval=30.0):
+        self.scheduler = Scheduler(
+            "127.0.0.1", 0, runner=runner, heartbeat_interval=heartbeat_interval
+        )
+        self.loop = asyncio.new_event_loop()
+        self._started = threading.Event()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+        self._started.wait(10)
+
+    def _run(self):
+        asyncio.set_event_loop(self.loop)
+
+        async def boot():
+            await self.scheduler.start()
+            self._started.set()
+
+        self.loop.run_until_complete(boot())
+        self.loop.run_forever()
+
+    @property
+    def port(self):
+        return self.scheduler.port
+
+    def run_coro(self, coro):
+        return asyncio.run_coroutine_threadsafe(coro, self.loop)
+
+    def close(self):
+        asyncio.run_coroutine_threadsafe(
+            self.scheduler.stop(), self.loop
+        ).result(10)
+        self.loop.call_soon_threadsafe(self.loop.stop)
+        self.thread.join(10)
+
+
+class TestControlPlane:
+    def test_submit_runs_task_and_status(self, tmp_path):
+        results = []
+        fx = SchedulerFixture(runner=_fake_runner(results))
+        try:
+            task_file = tmp_path / "task.pb"
+            task_file.write_text(
+                'nepochs : 1\ntrain_set : "train.txt"\n'
+                'user_factors : "u.dat"\nitem_factors : "i.dat"\n'
+            )
+            rsp = submit_task_file("127.0.0.1", fx.port, str(task_file))
+            assert rsp["status"] == "OK" and rsp["taskid"] == 1
+            # wait for the runner thread
+            import time
+
+            for _ in range(100):
+                if results:
+                    break
+                time.sleep(0.05)
+            assert results == [(1, "train.txt")]
+            status = scheduler_status("127.0.0.1", fx.port)
+            assert status["kind"] == "status_rsp"
+            assert status["history"][-1]["state"] == "done"
+        finally:
+            fx.close()
+
+    def test_submit_malformed_task_fails_cleanly(self, tmp_path):
+        fx = SchedulerFixture(runner=_fake_runner([]))
+        try:
+            rsp = protocol.send_and_recv(
+                "127.0.0.1",
+                fx.port,
+                {"kind": "submit_task", "task_text": "nonsense ::"},
+            )
+            assert rsp["status"] == "FAIL"
+        finally:
+            fx.close()
+
+    def test_labor_attach_heartbeat_and_announce(self, tmp_path):
+        results = []
+        fx = SchedulerFixture(
+            runner=_fake_runner(results), heartbeat_interval=0.3
+        )
+        labor = Labor("127.0.0.1", fx.port)
+        labor_future = fx.run_coro(labor.run())
+        try:
+            import time
+
+            for _ in range(100):
+                if fx.scheduler.labors:
+                    break
+                time.sleep(0.05)
+            assert len(fx.scheduler.labors) == 1
+
+            task_file = tmp_path / "task.pb"
+            task_file.write_text(
+                'nepochs : 2\ntrain_set : "t.txt"\n'
+                'user_factors : "u.dat"\nitem_factors : "i.dat"\n'
+            )
+            submit_task_file("127.0.0.1", fx.port, str(task_file))
+            for _ in range(100):
+                if labor.taskid == 1:
+                    break
+                time.sleep(0.05)
+            assert labor.taskid == 1  # announcement received
+
+            # heartbeat path: after the short interval, labor's info_rsp
+            # must have updated the scheduler's view
+            for _ in range(100):
+                li = next(iter(fx.scheduler.labors.values()), None)
+                if li is not None and li.taskid == 1:
+                    break
+                time.sleep(0.05)
+            assert li is not None and li.taskid == 1
+        finally:
+            labor_future.cancel()
+            fx.close()
+
+    def test_labor_detach_is_noticed(self):
+        fx = SchedulerFixture(runner=_fake_runner([]))
+        labor = Labor("127.0.0.1", fx.port)
+        fut = fx.run_coro(labor.run())
+        try:
+            import time
+
+            for _ in range(100):
+                if fx.scheduler.labors:
+                    break
+                time.sleep(0.05)
+            fut.cancel()  # closes the connection
+            for _ in range(100):
+                if not fx.scheduler.labors:
+                    break
+                time.sleep(0.05)
+            assert not fx.scheduler.labors
+        finally:
+            fx.close()
+
+
+class TestDistributedGolden:
+    def test_distributed_task_matches_standalone_cli(self, tmp_path):
+        """The reference's golden workflow (examples/README.md:4-13):
+        identical uniform.dat seed => distributed run output must equal the
+        standalone CLI run output, line for line."""
+        from qmf_tpu.cli import gen_uniform as gen_cli
+        from qmf_tpu.cli import wals as wals_cli
+
+        rng = np.random.default_rng(0)
+        lines = [
+            f"{u} {i} {v}\n"
+            for u, i, v in zip(
+                rng.integers(1, 50, 600),
+                rng.integers(1, 30, 600),
+                rng.integers(1, 6, 600),
+            )
+        ]
+        train = tmp_path / "train.txt"
+        train.write_text("".join(lines))
+        dist = tmp_path / "uniform.dat"
+        gen_cli.main(["20000", str(dist), "--seed=7"])
+
+        # standalone
+        wals_cli.main(
+            [
+                f"--train_dataset={train}",
+                f"--distribution_file={dist}",
+                "--nepochs=2",
+                "--nfactors=4",
+                f"--user_factors={tmp_path / 'su.dat'}",
+                f"--item_factors={tmp_path / 'si.dat'}",
+            ]
+        )
+
+        # distributed submission (real scheduler, real task runner)
+        fx = SchedulerFixture()  # default runner = real run_task
+        try:
+            task_file = tmp_path / "task.pb"
+            task_file.write_text(
+                "nepochs : 2\n"
+                "nfactors : 4\n"
+                f'distribution_file : "{dist}"\n'
+                f'train_set : "{train}"\n'
+                f'user_factors : "{tmp_path / "du.dat"}"\n'
+                f'item_factors : "{tmp_path / "di.dat"}"\n'
+            )
+            rsp = submit_task_file("127.0.0.1", fx.port, str(task_file))
+            assert rsp["status"] == "OK"
+            import time
+
+            for _ in range(600):
+                status = scheduler_status("127.0.0.1", fx.port)
+                if status["history"] and status["history"][-1]["state"] in (
+                    "done",
+                    "failed",
+                ):
+                    break
+                time.sleep(0.1)
+            assert status["history"][-1]["state"] == "done", status
+        finally:
+            fx.close()
+
+        # sharded f32 reductions reorder vs single-chip, so compare
+        # numerically (the reference's golden diff was over f64 CPU runs)
+        from qmf_tpu.data import load_factors
+
+        for a, b in (("du.dat", "su.dat"), ("di.dat", "si.dat")):
+            ids_a, fa = load_factors(str(tmp_path / a))
+            ids_b, fb = load_factors(str(tmp_path / b))
+            np.testing.assert_array_equal(ids_a, ids_b)
+            np.testing.assert_allclose(
+                fa.factors, fb.factors, rtol=5e-4, atol=5e-5
+            )

@@ -82,13 +82,13 @@ class TestShardedEngineParity:
         sharded.optimize()
 
         np.testing.assert_allclose(
-            np.asarray(sharded.user_factors),
+            np.asarray(sharded.user_factors)[: single.nusers],
             np.asarray(single.user_factors),
             rtol=1e-9,
             atol=1e-12,
         )
         np.testing.assert_allclose(
-            np.asarray(sharded.item_factors),
+            np.asarray(sharded.item_factors)[: single.nitems],
             np.asarray(single.item_factors),
             rtol=1e-9,
             atol=1e-12,
