@@ -31,7 +31,12 @@ from qmf_tpu.data.factor_io import FactorData
 from qmf_tpu.data.id_index import IdIndex
 from qmf_tpu.models.engine import Engine
 from qmf_tpu.ops import als_ops
-from qmf_tpu.ops.packing import Bucket, pack_buckets, packed_stats
+from qmf_tpu.ops.packing import (
+    Bucket,
+    pack_width_classes,
+    packed_stats,
+    width_class_chunk,
+)
 from qmf_tpu.utils.logging import log
 
 
@@ -103,21 +108,27 @@ class WALSEngine(Engine):
         cols = self.item_index.lookup(dataset.item_ids)
 
         t0 = time.time()
-        user_buckets = pack_buckets(
+        user_classes = pack_width_classes(
             rows, cols, dataset.values, self.nusers, cfg.batch_rows
         )
-        item_buckets = pack_buckets(
+        item_classes = pack_width_classes(
             cols, rows, dataset.values, self.nitems, cfg.batch_rows
         )
         log.info(
             "packed %d ratings: users %s, items %s (%.2fs)",
             len(dataset),
-            packed_stats(user_buckets),
-            packed_stats(item_buckets),
+            packed_stats(user_classes),
+            packed_stats(item_classes),
             time.time() - t0,
         )
-        self._user_buckets = DeviceBuckets.from_host(user_buckets, self.dtype)
-        self._item_buckets = DeviceBuckets.from_host(item_buckets, self.dtype)
+        self._user_buckets = DeviceBuckets.from_host(user_classes, self.dtype)
+        self._item_buckets = DeviceBuckets.from_host(item_classes, self.dtype)
+        self._user_chunks = [
+            width_class_chunk(c.shape[1], cfg.batch_rows) for c in user_classes
+        ]
+        self._item_chunks = [
+            width_class_chunk(c.shape[1], cfg.batch_rows) for c in item_classes
+        ]
 
         # item factors init: uniform or deterministic file; user factors zero
         # (overwritten in the first user half-epoch) — WALSEngine.cpp:55-68.
@@ -150,20 +161,26 @@ class WALSEngine(Engine):
         cfg = self.config
         if side == "user":
             fixed, buckets, n = self.item_factors, self._user_buckets, self.nusers
+            chunks = self._user_chunks
         else:
             fixed, buckets, n = self.user_factors, self._item_buckets, self.nitems
-        alpha = jnp.asarray(cfg.confidence_weight, dtype=self.dtype)
-        lam = jnp.asarray(cfg.regularization_lambda, dtype=self.dtype)
+            chunks = self._item_chunks
         arrays = [
             (buckets.row_ids[i], buckets.col_idx[i], buckets.values[i],
              buckets.mask[i])
             for i in range(len(buckets))
         ]
-        # one fused device program per half-epoch (single dispatch)
-        new_factors, loss = als_ops.half_epoch(
-            fixed, arrays, alpha, lam, cfg.solver, n
+        # one scan-based device program per width class
+        new_factors, total_loss = als_ops.iterate_side_classes(
+            fixed,
+            arrays,
+            chunks,
+            n,
+            cfg.confidence_weight,
+            cfg.regularization_lambda,
+            solver=cfg.solver,
+            dtype=self.dtype,
         )
-        total_loss = float(loss)
         if side == "user":
             self.user_factors = new_factors
         else:

@@ -136,6 +136,97 @@ half_epoch = functools.partial(jax.jit, static_argnames=("solver", "n_rows"))(
 )
 
 
+def width_class_solve_impl(
+    y: jax.Array,  # (n_cols, k) fixed factors
+    yty: jax.Array,  # (k, k)
+    row_ids: jax.Array,  # (N_w,) int32, N_w % chunk_b == 0
+    col_idx: jax.Array,  # (N_w, D)
+    values: jax.Array,  # (N_w, D)
+    mask: jax.Array,  # (N_w, D)
+    alpha: jax.Array,
+    lam: jax.Array,
+    x_out: jax.Array,  # (n_rows, k) — donated accumulator
+    loss_in: jax.Array,  # () — running loss
+    solver: str,
+    chunk_b: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Solve one width class by lax.scan over fixed-size chunks.
+
+    One small compiled module per (D, chunk_b) shape regardless of how many
+    rows the class holds — the scan body (gather + einsum A-build + batched
+    Cholesky + scatter) is compiled once and iterated. This is what keeps
+    MovieLens-20M at ~17 programs per side instead of ~450 unrolled solves.
+    """
+    n_chunks = row_ids.shape[0] // chunk_b
+    d = col_idx.shape[1]
+    ids_c = row_ids.reshape(n_chunks, chunk_b)
+    col_c = col_idx.reshape(n_chunks, chunk_b, d)
+    val_c = values.reshape(n_chunks, chunk_b, d)
+    mask_c = mask.reshape(n_chunks, chunk_b, d)
+
+    def body(carry, inp):
+        x_acc, loss = carry
+        ids, col, val, m = inp
+        x, l = _solve_bucket_body(y, yty, col, val, m, alpha, lam, solver)
+        x_acc = x_acc.at[ids].set(x, mode="drop")
+        return (x_acc, loss + jnp.sum(l)), None
+
+    (x_out, loss), _ = jax.lax.scan(
+        body, (x_out, loss_in), (ids_c, col_c, val_c, mask_c)
+    )
+    return x_out, loss
+
+
+width_class_solve = functools.partial(
+    jax.jit,
+    static_argnames=("solver", "chunk_b"),
+    donate_argnums=(8,),
+)(width_class_solve_impl)
+
+
+def iterate_side_classes(
+    y: jax.Array,
+    classes,  # list of (row_ids, col_idx, values, mask) device tuples
+    chunk_sizes: List[int],
+    n_rows: int,
+    alpha,
+    lam,
+    solver: str = "cholesky",
+    dtype=jnp.float32,
+    solve_fn=None,
+    x_init=None,
+) -> Tuple[jax.Array, float]:
+    """One half-epoch over width classes (one dispatch per class)."""
+    if solve_fn is None:
+        solve_fn = width_class_solve
+    yty = gramian(y)
+    k = y.shape[1]
+    # callers may pass a pre-placed accumulator (e.g. sharded zeros) so the
+    # donate-into-sharded-output chain starts without a layout copy
+    x_out = (
+        x_init if x_init is not None else jnp.zeros((n_rows, k), dtype=y.dtype)
+    )
+    loss = jnp.zeros((), dtype=y.dtype)
+    alpha = jnp.asarray(alpha, dtype=dtype)
+    lam = jnp.asarray(lam, dtype=dtype)
+    for (row_ids, col_idx, values, mask), chunk_b in zip(classes, chunk_sizes):
+        x_out, loss = solve_fn(
+            y,
+            yty,
+            row_ids,
+            col_idx,
+            values,
+            mask,
+            alpha,
+            lam,
+            x_out,
+            loss,
+            solver=solver,
+            chunk_b=chunk_b,
+        )
+    return x_out, float(loss)
+
+
 def iterate_side(
     y: jax.Array,
     buckets: List[Bucket],

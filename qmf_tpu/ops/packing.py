@@ -136,6 +136,81 @@ def pack_buckets(
     return buckets
 
 
+def pack_width_classes(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    n_rows: int,
+    batch_rows: int = 4096,
+    min_width: int = 8,
+    row_multiple: int = 8,
+    dtype=np.float64,
+) -> List[Bucket]:
+    """Pack COO ratings into ONE padded array set per width class.
+
+    Like :func:`pack_buckets` but rows of equal padded width stay together in
+    a single (N_w, D) array (padded so ``N_w`` is a multiple of the chunk
+    size the device program scans over). This keeps host->device transfers
+    and compiled programs per width class at exactly one each — at
+    MovieLens-20M scale that is ~17 programs instead of ~450.
+
+    The chunk size for width D is ``max(row_multiple, min(batch_rows,
+    batch_rows*min_width//D))`` — the same work-per-step rule as
+    pack_buckets; callers pass the identical parameters to
+    ``width_class_chunk`` to recover it.
+    """
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    vals = np.asarray(vals, dtype=np.float64)
+    cols_s, vals_s, indptr, degrees = group_rows(rows, cols, vals, n_rows)
+
+    active = np.nonzero(degrees > 0)[0]
+    if len(active) == 0:
+        return []
+    widths = np.maximum(min_width, 2 ** np.ceil(np.log2(np.maximum(
+        degrees[active], 1))).astype(np.int64))
+    order = np.argsort(widths, kind="stable")
+    active, widths = active[order], widths[order]
+
+    classes: List[Bucket] = []
+    boundaries = np.nonzero(np.diff(widths))[0] + 1
+    for cls_rows, d_width in zip(
+        np.split(active, boundaries),
+        widths[np.concatenate([[0], boundaries])] if len(active) else [],
+    ):
+        d_width = int(d_width)
+        chunk_b = width_class_chunk(d_width, batch_rows, min_width, row_multiple)
+        n_pad = _round_up(len(cls_rows), chunk_b)
+
+        row_ids = np.full(n_pad, n_rows, dtype=np.int32)
+        row_ids[: len(cls_rows)] = cls_rows
+        deg = degrees[cls_rows]
+        offsets = np.arange(d_width, dtype=np.int64)[None, :]
+        mask_c = offsets < deg[:, None]
+        flat_pos = np.minimum(
+            indptr[cls_rows][:, None] + offsets, max(len(cols_s) - 1, 0)
+        )
+        col_idx = np.zeros((n_pad, d_width), dtype=np.int32)
+        values = np.zeros((n_pad, d_width), dtype=dtype)
+        mask = np.zeros((n_pad, d_width), dtype=bool)
+        col_idx[: len(cls_rows)] = np.where(mask_c, cols_s[flat_pos], 0)
+        values[: len(cls_rows)] = np.where(mask_c, vals_s[flat_pos], 0.0)
+        mask[: len(cls_rows)] = mask_c
+        classes.append(Bucket(row_ids, col_idx, values, mask))
+    return classes
+
+
+def width_class_chunk(
+    d_width: int,
+    batch_rows: int = 4096,
+    min_width: int = 8,
+    row_multiple: int = 8,
+) -> int:
+    """Rows per device scan step for a width-D class (constant work/step)."""
+    cap = min(batch_rows, max(1, (batch_rows * min_width) // d_width))
+    return max(row_multiple, (cap // row_multiple) * row_multiple)
+
+
 def packed_stats(buckets: List[Bucket]) -> dict:
     """Padding-efficiency stats (logged at init for observability)."""
     real = sum(int(b.mask.sum()) for b in buckets)

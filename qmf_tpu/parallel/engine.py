@@ -22,7 +22,11 @@ from qmf_tpu.data.dataset import Dataset
 from qmf_tpu.data.factor_io import FactorData
 from qmf_tpu.data.id_index import IdIndex
 from qmf_tpu.models.wals import WALSEngine
-from qmf_tpu.ops.packing import pack_buckets, packed_stats
+from qmf_tpu.ops.packing import (
+    pack_width_classes,
+    packed_stats,
+    width_class_chunk,
+)
 from qmf_tpu.parallel.mesh import make_mesh
 from qmf_tpu.parallel.sharded_wals import ShardedBuckets, iterate_side_sharded
 from qmf_tpu.utils.logging import log
@@ -39,9 +43,9 @@ class ShardedWALSEngine(WALSEngine):
         super().__init__(config, metrics_engine)
         self.mesh = mesh if mesh is not None else make_mesh(n_devices)
         self.axis_name = self.mesh.axis_names[0]
-        from qmf_tpu.parallel.sharded_wals import make_sharded_half_epoch
+        from qmf_tpu.parallel.sharded_wals import make_sharded_width_class_solve
 
-        self._half_epoch_fn = make_sharded_half_epoch(self.mesh, self.axis_name)
+        self._solve_fn = make_sharded_width_class_solve(self.mesh, self.axis_name)
 
     def init(self, dataset: Dataset) -> None:
         if self.user_factors is not None or self.item_factors is not None:
@@ -52,28 +56,38 @@ class ShardedWALSEngine(WALSEngine):
         rows = self.user_index.lookup(dataset.user_ids)
         cols = self.item_index.lookup(dataset.item_ids)
 
-        # every bucket's row count divides the mesh so the shard is even
+        # every scan chunk's row count divides the mesh so shards are even
         row_multiple = 8 * self.mesh.size
-        user_buckets = pack_buckets(
+        user_classes = pack_width_classes(
             rows, cols, dataset.values, self.nusers, cfg.batch_rows,
             row_multiple=row_multiple,
         )
-        item_buckets = pack_buckets(
+        item_classes = pack_width_classes(
             cols, rows, dataset.values, self.nitems, cfg.batch_rows,
             row_multiple=row_multiple,
         )
         log.info(
             "sharded packing over %d devices: users %s, items %s",
             self.mesh.size,
-            packed_stats(user_buckets),
-            packed_stats(item_buckets),
+            packed_stats(user_classes),
+            packed_stats(item_classes),
         )
         self._user_buckets = ShardedBuckets(
-            user_buckets, self.mesh, self.dtype, self.axis_name
+            user_classes, self.mesh, self.dtype, self.axis_name
         )
         self._item_buckets = ShardedBuckets(
-            item_buckets, self.mesh, self.dtype, self.axis_name
+            item_classes, self.mesh, self.dtype, self.axis_name
         )
+        self._user_chunks = [
+            width_class_chunk(c.shape[1], cfg.batch_rows,
+                              row_multiple=row_multiple)
+            for c in user_classes
+        ]
+        self._item_chunks = [
+            width_class_chunk(c.shape[1], cfg.batch_rows,
+                              row_multiple=row_multiple)
+            for c in item_classes
+        ]
 
         item_init = FactorData(self.nitems, cfg.nfactors)
         if cfg.distribution_file:
@@ -109,13 +123,15 @@ class ShardedWALSEngine(WALSEngine):
     def _iterate(self, side: str) -> float:
         cfg = self.config
         if side == "user":
-            fixed, buckets, n = self.item_factors, self._user_buckets, self.nusers
+            fixed, buckets = self.item_factors, self._user_buckets
+            chunks, n_pad = self._user_chunks, self._pad_users
         else:
-            fixed, buckets, n = self.user_factors, self._item_buckets, self.nitems
-        n_pad = self._pad_users if side == "user" else self._pad_items
+            fixed, buckets = self.user_factors, self._item_buckets
+            chunks, n_pad = self._item_chunks, self._pad_items
         new_factors, total_loss = iterate_side_sharded(
             fixed,
             buckets,
+            chunks,
             n_pad,
             cfg.nfactors,
             cfg.confidence_weight,
@@ -124,7 +140,7 @@ class ShardedWALSEngine(WALSEngine):
             solver=cfg.solver,
             dtype=self.dtype,
             axis_name=self.axis_name,
-            half_epoch_fn=self._half_epoch_fn,
+            solve_fn=self._solve_fn,
         )
         if side == "user":
             self.user_factors = new_factors

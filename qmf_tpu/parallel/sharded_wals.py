@@ -91,34 +91,22 @@ class ShardedBuckets:
         return len(self.row_ids)
 
 
-def make_sharded_half_epoch(mesh: Mesh, axis_name: str = "d"):
-    """jit of the fused half-epoch with sharded outputs.
+def make_sharded_width_class_solve(mesh: Mesh, axis_name: str = "d"):
+    """jit of the width-class scan solve with sharded in/outputs.
 
     Output factors come back row-sharded over the mesh (they feed the next
     half-epoch as the fixed side, where GSPMD all-gathers them); the loss is
-    replicated. Sharded layouts need mesh-divisible heights, so the fixed
-    side is zero-padded inside the program (padding rows are never gathered
-    — column indices are < the true height) and ``n_rows`` is the PADDED
-    output height; callers slice factors back at the framework boundary.
+    replicated. The scan chunks shard on their row axis, so solves run
+    where the rows live.
     """
     out_shardings = (
         NamedSharding(mesh, P(axis_name, None)),
         NamedSharding(mesh, P()),
     )
-
-    def padded_half_epoch(y, bucket_arrays, alpha, lam, solver, n_rows):
-        pad = (-y.shape[0]) % mesh.size
-        if pad:
-            y = jnp.concatenate(
-                [y, jnp.zeros((pad, y.shape[1]), dtype=y.dtype)]
-            )
-        return als_ops.half_epoch_impl(
-            y, bucket_arrays, alpha, lam, solver, n_rows
-        )
-
     return jax.jit(
-        padded_half_epoch,
-        static_argnames=("solver", "n_rows"),
+        als_ops.width_class_solve_impl,
+        static_argnames=("solver", "chunk_b"),
+        donate_argnums=(8,),
         out_shardings=out_shardings,
     )
 
@@ -131,6 +119,7 @@ def pad_rows(n: int, mesh: Mesh) -> int:
 def iterate_side_sharded(
     y: jax.Array,
     buckets: ShardedBuckets,
+    chunk_sizes,
     n_rows: int,
     nfactors: int,
     alpha,
@@ -139,14 +128,24 @@ def iterate_side_sharded(
     solver: str = "cholesky",
     dtype=jnp.float32,
     axis_name: str = "d",
-    half_epoch_fn=None,
+    solve_fn=None,
 ) -> Tuple[jax.Array, float]:
     """One sharded half-epoch; returns (row-sharded new factors, loss sum)."""
-    if half_epoch_fn is None:
-        half_epoch_fn = make_sharded_half_epoch(mesh, axis_name)
-    alpha = jnp.asarray(alpha, dtype=dtype)
-    lam = jnp.asarray(lam, dtype=dtype)
-    x_out, loss = half_epoch_fn(
-        y, buckets.arrays(), alpha, lam, solver, n_rows
+    if solve_fn is None:
+        solve_fn = make_sharded_width_class_solve(mesh, axis_name)
+    x_init = jax.device_put(
+        jnp.zeros((n_rows, y.shape[1]), dtype=y.dtype),
+        NamedSharding(mesh, P(axis_name, None)),
     )
-    return x_out, float(loss)
+    return als_ops.iterate_side_classes(
+        y,
+        buckets.arrays(),
+        chunk_sizes,
+        n_rows,
+        alpha,
+        lam,
+        solver=solver,
+        dtype=dtype,
+        solve_fn=solve_fn,
+        x_init=x_init,
+    )
