@@ -228,3 +228,68 @@ class TestFlags:
         pos = fl.parse(["100", "--nepochs=2", "out.dat"])
         assert pos == ["100", "out.dat"]
         assert fl.nepochs == 2
+
+
+class TestNativeIO:
+    """Native C++ reader/writer parity (skipped when the lib isn't built)."""
+
+    @pytest.fixture(autouse=True)
+    def _need_native(self):
+        from qmf_tpu.data import native
+
+        if not native.available():
+            pytest.skip("libqmf_native.so not built (make -C qmf_tpu/_native)")
+
+    def test_reader_matches_python(self, tmp_path):
+        rng = np.random.default_rng(0)
+        p = tmp_path / "r.txt"
+        lines = [
+            f"{u} {i} {v:.3f}\n"
+            for u, i, v in zip(
+                rng.integers(-5, 10**12, 500),
+                rng.integers(0, 10**9, 500),
+                rng.uniform(-5, 5, 500),
+            )
+        ]
+        lines.insert(3, "\n")  # blank lines are skipped
+        p.write_text("".join(lines))
+        from qmf_tpu.data import native
+
+        ds = native.read_dataset(str(p))
+        from qmf_tpu.data.dataset import _read_python
+
+        ref = _read_python(str(p))
+        np.testing.assert_array_equal(ds.user_ids, ref.user_ids)
+        np.testing.assert_array_equal(ds.item_ids, ref.item_ids)
+        np.testing.assert_allclose(ds.values, ref.values, rtol=1e-12)
+
+    def test_reader_no_trailing_newline(self, tmp_path):
+        p = tmp_path / "r.txt"
+        p.write_text("1 2 3.5\n4 5 -6.25e-2")
+        from qmf_tpu.data import native
+
+        ds = native.read_dataset(str(p))
+        assert len(ds) == 2
+        assert ds.values[1] == pytest.approx(-0.0625)
+
+    def test_reader_bad_line(self, tmp_path):
+        p = tmp_path / "bad.txt"
+        p.write_text("1 2 3.0\nx y z\n")
+        from qmf_tpu.data import native
+
+        with pytest.raises(ValueError):
+            native.read_dataset(str(p))
+
+    def test_writer_matches_python_format(self, tmp_path):
+        from qmf_tpu.data import native
+
+        ids = np.array([5, -3], dtype=np.int64)
+        factors = np.array([[1.0, 2.5], [0.123456789, -0.5]])
+        biases = np.array([0.25, -1.0])
+        p1 = tmp_path / "native.txt"
+        native.write_factors(str(p1), ids, factors, biases)
+        expected = (
+            "5 0.250000000 1.000000000 2.500000000\n"
+            "-3 -1.000000000 0.123456789 -0.500000000\n"
+        )
+        assert p1.read_text() == expected
