@@ -40,6 +40,11 @@ class WALSConfig:
     solver: str = "cholesky"
     # Max rows per solve bucket on device; bounds compile count and memory.
     batch_rows: int = 4096
+    # MXU matmul precision for the normal-equation builds: "highest" (full
+    # f32 effective precision) or "default" (single-pass bf16 inputs with
+    # f32 accumulation; several-fold faster, ~1e-3 relative error that WALS
+    # absorbs). The Cholesky solve always runs in f32.
+    matmul_precision: str = "highest"
     # Random seed for item-factor init when distribution_file is empty.
     # The reference draws from std::random_device (non-deterministic,
     # WALSEngine.cpp:58-62); we default to a fixed seed for reproducibility.

@@ -106,6 +106,22 @@ class BPREngine(Engine):
             self._data_users, self._data_items, self.nusers
         )
 
+        # device-resident triplet stream for the one-dispatch epoch:
+        # each positive pair repeated num_negative_samples times
+        # (reference iterate(), BPREngine-inl.h:21-29), padded to a batch
+        # multiple with zero weights
+        tri_u = np.repeat(self._data_users, cfg.num_negative_samples)
+        tri_i = np.repeat(self._data_items, cfg.num_negative_samples)
+        pad = (-len(tri_u)) % cfg.batch_size
+        w = np.ones(len(tri_u) + pad, dtype=np.float32)
+        if pad:
+            tri_u = np.concatenate([tri_u, np.zeros(pad, np.int32)])
+            tri_i = np.concatenate([tri_i, np.zeros(pad, np.int32)])
+            w[-pad:] = 0.0
+        self._tri_users = jnp.asarray(tri_u.astype(np.int32))
+        self._tri_items = jnp.asarray(tri_i.astype(np.int32))
+        self._tri_weights = jnp.asarray(w, dtype=self.dtype)
+
         # fixed seeded train eval set (reference BPREngine.cpp:84-87)
         rng = np.random.default_rng(self.eval_seed)
         ev_u = np.repeat(self._data_users, self.eval_num_neg)
@@ -177,45 +193,26 @@ class BPREngine(Engine):
 
     # --- training -------------------------------------------------------------
     def _epoch(self) -> None:
+        """One epoch = ONE device program (shuffle + sample + all steps)."""
         cfg = self.config
-        # triplets = each positive pair repeated num_negative_samples times
-        # (reference iterate() samples num_neg negatives per positive,
-        # BPREngine-inl.h:21-29)
-        users = np.repeat(self._data_users, cfg.num_negative_samples)
-        items = np.repeat(self._data_items, cfg.num_negative_samples)
-        total = len(users)
-        bs = cfg.batch_size
-        lr = jnp.asarray(self.learning_rate, dtype=self.dtype)
-        ul = jnp.asarray(cfg.user_lambda, dtype=self.dtype)
-        il = jnp.asarray(cfg.item_lambda, dtype=self.dtype)
-        bl = jnp.asarray(cfg.bias_lambda, dtype=self.dtype)
-
-        for start in range(0, total, bs):
-            chunk_u = users[start : start + bs]
-            chunk_i = items[start : start + bs]
-            b = len(chunk_u)
-            if b < bs:  # pad the tail batch; padded rows carry zero weight
-                pad = bs - b
-                chunk_u = np.concatenate([chunk_u, np.zeros(pad, np.int32)])
-                chunk_i = np.concatenate([chunk_i, np.zeros(pad, np.int32)])
-            weight = np.zeros(bs, dtype=np.float32)
-            weight[:b] = 1.0
-            self._step_key, sub = jax.random.split(self._step_key)
-            self.params = bpr_ops.sgd_step(
-                self.params,
-                sub,
-                jnp.asarray(chunk_u.astype(np.int32)),
-                jnp.asarray(chunk_i.astype(np.int32)),
-                jnp.asarray(weight, dtype=self.dtype),
-                self._pos_set,
-                lr,
-                ul,
-                il,
-                bl,
-                n_items=self.nitems,
-                use_biases=cfg.use_biases,
-                neg_rounds=cfg.neg_resample_rounds,
-            )
+        self._step_key, sub = jax.random.split(self._step_key)
+        self.params = bpr_ops.sgd_epoch(
+            self.params,
+            sub,
+            self._tri_users,
+            self._tri_items,
+            self._tri_weights,
+            self._pos_set,
+            jnp.asarray(self.learning_rate, dtype=self.dtype),
+            jnp.asarray(cfg.user_lambda, dtype=self.dtype),
+            jnp.asarray(cfg.item_lambda, dtype=self.dtype),
+            jnp.asarray(cfg.bias_lambda, dtype=self.dtype),
+            n_items=self.nitems,
+            use_biases=cfg.use_biases,
+            neg_rounds=cfg.neg_resample_rounds,
+            shuffle=cfg.shuffle_training_set,
+            batch_size=min(cfg.batch_size, self._tri_users.shape[0]),
+        )
 
     def enable_checkpointing(self, directory: str, every: int = 1) -> None:
         """Per-epoch checkpoint + auto-resume (qmf_tpu/utils/checkpoint)."""
@@ -280,10 +277,8 @@ class BPREngine(Engine):
             self._maybe_checkpoint(epoch)
             if cfg.decay_rate < 1.0:
                 self.learning_rate *= cfg.decay_rate
-            if cfg.shuffle_training_set:
-                perm = self._shuffle_rng.permutation(len(self._data_users))
-                self._data_users = self._data_users[perm]
-                self._data_items = self._data_items[perm]
+            # shuffle_training_set is honored on-device inside _epoch
+            # (jax.random.permutation of the triplet stream per epoch)
 
     def evaluate(self, epoch: int, elapsed: float = 0.0) -> None:
         cfg = self.config

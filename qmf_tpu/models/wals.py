@@ -180,6 +180,7 @@ class WALSEngine(Engine):
             cfg.regularization_lambda,
             solver=cfg.solver,
             dtype=self.dtype,
+            precision=cfg.matmul_precision,
         )
         if side == "user":
             self.user_factors = new_factors

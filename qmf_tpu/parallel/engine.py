@@ -141,6 +141,7 @@ class ShardedWALSEngine(WALSEngine):
             dtype=self.dtype,
             axis_name=self.axis_name,
             solve_fn=self._solve_fn,
+            precision=cfg.matmul_precision,
         )
         if side == "user":
             self.user_factors = new_factors

@@ -105,7 +105,7 @@ def make_sharded_width_class_solve(mesh: Mesh, axis_name: str = "d"):
     )
     return jax.jit(
         als_ops.width_class_solve_impl,
-        static_argnames=("solver", "chunk_b"),
+        static_argnames=("solver", "chunk_b", "precision"),
         donate_argnums=(8,),
         out_shardings=out_shardings,
     )
@@ -129,6 +129,7 @@ def iterate_side_sharded(
     dtype=jnp.float32,
     axis_name: str = "d",
     solve_fn=None,
+    precision: str = "highest",
 ) -> Tuple[jax.Array, float]:
     """One sharded half-epoch; returns (row-sharded new factors, loss sum)."""
     if solve_fn is None:
@@ -148,4 +149,5 @@ def iterate_side_sharded(
         dtype=dtype,
         solve_fn=solve_fn,
         x_init=x_init,
+        precision=precision,
     )
