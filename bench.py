@@ -134,20 +134,18 @@ def main() -> None:
     engine.init(ds)
     print(f"# init (pack + transfer): {time.time() - t_init:.2f}s", file=sys.stderr)
 
-    # warmup epoch: triggers all compiles
+    # warmup epoch: triggers all compiles (fused whole-epoch program)
     t0 = time.time()
-    engine._iterate("user")
-    engine._iterate("item")
-    jax.block_until_ready(engine.item_factors)
+    engine._fused_epoch()
     print(f"# warmup epoch (incl. compile): {time.time() - t0:.2f}s", file=sys.stderr)
 
     times = []
+    loss = float("nan")
     for _ in range(EPOCHS):
         t0 = time.time()
-        engine._iterate("user")
-        engine._iterate("item")
-        jax.block_until_ready(engine.item_factors)
+        loss = engine._fused_epoch()  # float(loss) inside = true device sync
         times.append(time.time() - t0)
+    print(f"# final loss: {loss:.6f}", file=sys.stderr)
     epoch_s = float(np.median(times))
     print(f"# steady epochs: {[f'{t:.3f}' for t in times]}", file=sys.stderr)
 

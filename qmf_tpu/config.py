@@ -45,6 +45,10 @@ class WALSConfig:
     # f32 accumulation; several-fold faster, ~1e-3 relative error that WALS
     # absorbs). The Cholesky solve always runs in f32.
     matmul_precision: str = "highest"
+    # Run each epoch (both half-epochs) as one fused device program — one
+    # dispatch + one host sync per epoch. Disable to dispatch per width
+    # class (useful for debugging or compile-memory-constrained targets).
+    fuse_epoch: bool = True
     # Random seed for item-factor init when distribution_file is empty.
     # The reference draws from std::random_device (non-deterministic,
     # WALSEngine.cpp:58-62); we default to a fixed seed for reproducibility.

@@ -122,18 +122,23 @@ class BPREngine(Engine):
         self._tri_items = jnp.asarray(tri_i.astype(np.int32))
         self._tri_weights = jnp.asarray(w, dtype=self.dtype)
 
-        # fixed seeded train eval set (reference BPREngine.cpp:84-87)
-        rng = np.random.default_rng(self.eval_seed)
-        ev_u = np.repeat(self._data_users, self.eval_num_neg)
-        ev_p = np.repeat(self._data_items, self.eval_num_neg)
-        ev_n = bpr_ops.sample_negatives_host(
-            rng, ev_u, self._data_users, self._data_items, self.nitems
+        # fixed seeded train eval set (reference BPREngine.cpp:84-87).
+        # Negatives are rejection-sampled ON DEVICE (16 rounds ~= exact):
+        # no 100s-of-MB host->device triplet transfer, no host loop.
+        ev_u = jnp.repeat(
+            jnp.asarray(self._data_users), self.eval_num_neg
         )
-        self._eval_set = (
-            jnp.asarray(ev_u.astype(np.int32)),
-            jnp.asarray(ev_p.astype(np.int32)),
-            jnp.asarray(ev_n.astype(np.int32)),
+        ev_p = jnp.repeat(
+            jnp.asarray(self._data_items), self.eval_num_neg
         )
+        ev_n = bpr_ops.sample_negatives(
+            jax.random.PRNGKey(self.eval_seed),
+            ev_u,
+            self._pos_set,
+            self.nitems,
+            rounds=16,
+        )
+        self._eval_set = (ev_u, ev_p, ev_n)
 
         # model init (reference BPREngine.cpp:89-104)
         self.learning_rate = cfg.init_learning_rate
@@ -166,21 +171,22 @@ class BPREngine(Engine):
         t_items = iidx[valid].astype(np.int32)
 
         # negatives rejected against the TEST positive map only
-        # (reference BPREngine.cpp:126-136, useTestItemMap=true)
-        rng = np.random.default_rng(self.eval_seed)
-        ev_u = np.repeat(t_users, self.eval_num_neg)
-        ev_p = np.repeat(t_items, self.eval_num_neg)
-        if len(ev_u):
-            ev_n = bpr_ops.sample_negatives_host(
-                rng, ev_u, t_users, t_items, self.nitems
+        # (reference BPREngine.cpp:126-136, useTestItemMap=true); sampled
+        # on device like the train eval set
+        ev_u = jnp.repeat(jnp.asarray(t_users), self.eval_num_neg)
+        ev_p = jnp.repeat(jnp.asarray(t_items), self.eval_num_neg)
+        if len(t_users):
+            test_pos_set = bpr_ops.make_pos_set(t_users, t_items, self.nusers)
+            ev_n = bpr_ops.sample_negatives(
+                jax.random.PRNGKey(self.eval_seed),
+                ev_u,
+                test_pos_set,
+                self.nitems,
+                rounds=16,
             )
         else:
-            ev_n = np.zeros(0, dtype=np.int64)
-        self._test_eval_set = (
-            jnp.asarray(ev_u.astype(np.int32)),
-            jnp.asarray(ev_p.astype(np.int32)),
-            jnp.asarray(ev_n.astype(np.int32)),
-        )
+            ev_n = jnp.zeros(0, dtype=jnp.int32)
+        self._test_eval_set = (ev_u, ev_p, ev_n)
 
         if self.metrics_engine is not None and self.metrics_engine.test_avg_metrics:
             self.test_users, self.test_labels = self.init_avg_test_data(

@@ -33,9 +33,9 @@ from qmf_tpu.models.engine import Engine
 from qmf_tpu.ops import als_ops
 from qmf_tpu.ops.packing import (
     Bucket,
+    chunks_for_classes,
     pack_width_classes,
     packed_stats,
-    width_class_chunk,
 )
 from qmf_tpu.utils.logging import log
 
@@ -123,12 +123,8 @@ class WALSEngine(Engine):
         )
         self._user_buckets = DeviceBuckets.from_host(user_classes, self.dtype)
         self._item_buckets = DeviceBuckets.from_host(item_classes, self.dtype)
-        self._user_chunks = [
-            width_class_chunk(c.shape[1], cfg.batch_rows) for c in user_classes
-        ]
-        self._item_chunks = [
-            width_class_chunk(c.shape[1], cfg.batch_rows) for c in item_classes
-        ]
+        self._user_chunks = chunks_for_classes(user_classes, cfg.batch_rows)
+        self._item_chunks = chunks_for_classes(item_classes, cfg.batch_rows)
 
         # item factors init: uniform or deterministic file; user factors zero
         # (overwritten in the first user half-epoch) — WALSEngine.cpp:55-68.
@@ -188,6 +184,36 @@ class WALSEngine(Engine):
             self.item_factors = new_factors
         return total_loss / self.nusers / self.nitems
 
+    def _fused_epoch(self) -> float:
+        """One dispatch for the whole epoch (see als_ops.train_epoch)."""
+        cfg = self.config
+        ub, ib = self._user_buckets, self._item_buckets
+        u_arrays = [
+            (ub.row_ids[i], ub.col_idx[i], ub.values[i], ub.mask[i])
+            for i in range(len(ub))
+        ]
+        i_arrays = [
+            (ib.row_ids[i], ib.col_idx[i], ib.values[i], ib.mask[i])
+            for i in range(len(ib))
+        ]
+        u_new, v_new, _, loss_v = als_ops.train_epoch(
+            self.user_factors,
+            self.item_factors,
+            u_arrays,
+            i_arrays,
+            jnp.asarray(cfg.confidence_weight, dtype=self.dtype),
+            jnp.asarray(cfg.regularization_lambda, dtype=self.dtype),
+            solver=cfg.solver,
+            precision=cfg.matmul_precision,
+            n_users=self.nusers,
+            n_items=self.nitems,
+            user_chunks=tuple(self._user_chunks),
+            item_chunks=tuple(self._item_chunks),
+        )
+        self.user_factors = u_new
+        self.item_factors = v_new
+        return float(loss_v) / self.nusers / self.nitems
+
     def enable_checkpointing(self, directory: str, every: int = 1) -> None:
         """Per-epoch checkpoint + auto-resume (see qmf_tpu/utils/checkpoint).
 
@@ -240,8 +266,11 @@ class WALSEngine(Engine):
         start_epoch = self._maybe_resume()
         for epoch in range(start_epoch, self.config.nepochs + 1):
             t0 = time.time()
-            self._iterate("user")
-            loss = self._iterate("item")
+            if self.config.fuse_epoch:
+                loss = self._fused_epoch()
+            else:
+                self._iterate("user")
+                loss = self._iterate("item")
             jax.block_until_ready(self.item_factors)
             log.info(
                 "epoch %d: train loss = %.10g (%.3fs)",

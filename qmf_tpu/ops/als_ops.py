@@ -154,6 +154,96 @@ half_epoch = functools.partial(jax.jit, static_argnames=("solver", "n_rows"))(
 )
 
 
+def _scan_class(y, yty, row_ids, col_idx, values, mask, alpha, lam, x_out,
+                loss_in, solver, chunk_b, precision):
+    """Scan one width class's chunks into (x_out, loss). Shared body."""
+    n_chunks = row_ids.shape[0] // chunk_b
+    d = col_idx.shape[1]
+    ids_c = row_ids.reshape(n_chunks, chunk_b)
+    col_c = col_idx.reshape(n_chunks, chunk_b, d)
+    val_c = values.reshape(n_chunks, chunk_b, d)
+    mask_c = mask.reshape(n_chunks, chunk_b, d)
+
+    def body(carry, inp):
+        x_acc, loss = carry
+        ids, col, val, m = inp
+        x, l = _solve_bucket_body(
+            y, yty, col, val, m, alpha, lam, solver, precision
+        )
+        x_acc = x_acc.at[ids].set(x, mode="drop")
+        return (x_acc, loss + jnp.sum(l)), None
+
+    (x_out, loss), _ = jax.lax.scan(
+        body, (x_out, loss_in), (ids_c, col_c, val_c, mask_c)
+    )
+    return x_out, loss
+
+
+def _solve_side(y, class_arrays, chunk_sizes, n_rows, alpha, lam, solver,
+                precision):
+    """All width classes of one side inside a single trace."""
+    yty = gramian(y)
+    x_out = jnp.zeros((n_rows, y.shape[1]), dtype=y.dtype)
+    loss = jnp.zeros((), dtype=y.dtype)
+    for (row_ids, col_idx, values, mask), chunk_b in zip(
+        class_arrays, chunk_sizes
+    ):
+        x_out, loss = _scan_class(
+            y, yty, row_ids, col_idx, values, mask, alpha, lam, x_out, loss,
+            solver, chunk_b, precision,
+        )
+    return x_out, loss
+
+
+def train_epoch_impl(
+    user_factors: jax.Array,  # (U, k) — donated
+    item_factors: jax.Array,  # (I, k) — donated
+    user_arrays,  # list of (row_ids, col_idx, values, mask), user side
+    item_arrays,  # same, item side
+    alpha: jax.Array,
+    lam: jax.Array,
+    solver: str,
+    precision: str,
+    n_users: int,
+    n_items: int,
+    user_chunks: Tuple[int, ...],
+    item_chunks: Tuple[int, ...],
+):
+    """One FULL WALS epoch (both half-epochs) as a single device program.
+
+    One dispatch + one host sync per epoch: through high-latency runtimes
+    (or at small k) per-program round-trips otherwise dominate — fusing the
+    ~22 width-class scans of both sides cuts epoch latency by ~5x here.
+    Matches reference WALSEngine::optimize epoch order (WALSEngine.cpp:82-96):
+    users solved against items, then items against new users; the returned
+    item-side loss is the one the reference logs.
+    """
+    del user_factors  # recomputed from scratch each epoch (reference zeroes)
+    u_new, loss_u = _solve_side(
+        item_factors, user_arrays, user_chunks, n_users, alpha, lam, solver,
+        precision,
+    )
+    v_new, loss_v = _solve_side(
+        u_new, item_arrays, item_chunks, n_items, alpha, lam, solver,
+        precision,
+    )
+    return u_new, v_new, loss_u, loss_v
+
+
+train_epoch = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "solver",
+        "precision",
+        "n_users",
+        "n_items",
+        "user_chunks",
+        "item_chunks",
+    ),
+    donate_argnums=(0, 1),
+)(train_epoch_impl)
+
+
 def width_class_solve_impl(
     y: jax.Array,  # (n_cols, k) fixed factors
     yty: jax.Array,  # (k, k)
@@ -176,26 +266,10 @@ def width_class_solve_impl(
     Cholesky + scatter) is compiled once and iterated. This is what keeps
     MovieLens-20M at ~17 programs per side instead of ~450 unrolled solves.
     """
-    n_chunks = row_ids.shape[0] // chunk_b
-    d = col_idx.shape[1]
-    ids_c = row_ids.reshape(n_chunks, chunk_b)
-    col_c = col_idx.reshape(n_chunks, chunk_b, d)
-    val_c = values.reshape(n_chunks, chunk_b, d)
-    mask_c = mask.reshape(n_chunks, chunk_b, d)
-
-    def body(carry, inp):
-        x_acc, loss = carry
-        ids, col, val, m = inp
-        x, l = _solve_bucket_body(
-            y, yty, col, val, m, alpha, lam, solver, precision
-        )
-        x_acc = x_acc.at[ids].set(x, mode="drop")
-        return (x_acc, loss + jnp.sum(l)), None
-
-    (x_out, loss), _ = jax.lax.scan(
-        body, (x_out, loss_in), (ids_c, col_c, val_c, mask_c)
+    return _scan_class(
+        y, yty, row_ids, col_idx, values, mask, alpha, lam, x_out, loss_in,
+        solver, chunk_b, precision,
     )
-    return x_out, loss
 
 
 width_class_solve = functools.partial(

@@ -179,7 +179,9 @@ def pack_width_classes(
         widths[np.concatenate([[0], boundaries])] if len(active) else [],
     ):
         d_width = int(d_width)
-        chunk_b = width_class_chunk(d_width, batch_rows, min_width, row_multiple)
+        chunk_b = width_class_chunk(
+            d_width, batch_rows, min_width, row_multiple, n_rows=len(cls_rows)
+        )
         n_pad = _round_up(len(cls_rows), chunk_b)
 
         row_ids = np.full(n_pad, n_rows, dtype=np.int32)
@@ -205,10 +207,38 @@ def width_class_chunk(
     batch_rows: int = 4096,
     min_width: int = 8,
     row_multiple: int = 8,
+    n_rows: int = 0,
 ) -> int:
-    """Rows per device scan step for a width-D class (constant work/step)."""
+    """Rows per device scan step for a width-D class (constant work/step).
+
+    When the class's true row count (``n_rows``) is smaller than the work
+    cap, the chunk shrinks to it — otherwise tiny classes would be padded up
+    to the cap (a 600-row class padded to a 2048-row chunk).
+    """
     cap = min(batch_rows, max(1, (batch_rows * min_width) // d_width))
+    if n_rows:
+        cap = min(cap, _round_up(n_rows, row_multiple))
     return max(row_multiple, (cap // row_multiple) * row_multiple)
+
+
+def chunks_for_classes(
+    classes: List[Bucket],
+    batch_rows: int = 4096,
+    min_width: int = 8,
+    row_multiple: int = 8,
+) -> List[int]:
+    """Scan chunk size for each packed width class.
+
+    A class padded below the work cap is a single chunk (its padded height);
+    otherwise the padded height is a multiple of the cap by construction.
+    """
+    return [
+        min(
+            width_class_chunk(c.shape[1], batch_rows, min_width, row_multiple),
+            c.shape[0],
+        )
+        for c in classes
+    ]
 
 
 def packed_stats(buckets: List[Bucket]) -> dict:

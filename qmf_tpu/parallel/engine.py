@@ -23,9 +23,9 @@ from qmf_tpu.data.factor_io import FactorData
 from qmf_tpu.data.id_index import IdIndex
 from qmf_tpu.models.wals import WALSEngine
 from qmf_tpu.ops.packing import (
+    chunks_for_classes,
     pack_width_classes,
     packed_stats,
-    width_class_chunk,
 )
 from qmf_tpu.parallel.mesh import make_mesh
 from qmf_tpu.parallel.sharded_wals import ShardedBuckets, iterate_side_sharded
@@ -78,16 +78,12 @@ class ShardedWALSEngine(WALSEngine):
         self._item_buckets = ShardedBuckets(
             item_classes, self.mesh, self.dtype, self.axis_name
         )
-        self._user_chunks = [
-            width_class_chunk(c.shape[1], cfg.batch_rows,
-                              row_multiple=row_multiple)
-            for c in user_classes
-        ]
-        self._item_chunks = [
-            width_class_chunk(c.shape[1], cfg.batch_rows,
-                              row_multiple=row_multiple)
-            for c in item_classes
-        ]
+        self._user_chunks = chunks_for_classes(
+            user_classes, cfg.batch_rows, row_multiple=row_multiple
+        )
+        self._item_chunks = chunks_for_classes(
+            item_classes, cfg.batch_rows, row_multiple=row_multiple
+        )
 
         item_init = FactorData(self.nitems, cfg.nfactors)
         if cfg.distribution_file:

@@ -286,3 +286,29 @@ class TestWALSEngine:
         assert len(lines) == 3
         assert lines[0].split()[0] == "1"  # sorted raw ids
         assert len(lines[0].split()) == 4  # id + 3 factors
+
+
+class TestFusedEpoch:
+    def test_fused_matches_per_class_dispatch(self):
+        rng = np.random.default_rng(9)
+        n_u, n_i = 40, 22
+        users = rng.integers(0, n_u, 400) + 1
+        items = rng.integers(0, n_i, 400) + 1
+        ds = Dataset(users, items, rng.integers(1, 6, 400).astype(float))
+        cfg = dict(nepochs=3, nfactors=4, init_seed=3, dtype="float64")
+        fused = WALSEngine(WALSConfig(**cfg, fuse_epoch=True))
+        fused.init(ds)
+        fused.optimize()
+        stepped = WALSEngine(WALSConfig(**cfg, fuse_epoch=False))
+        stepped.init(ds)
+        stepped.optimize()
+        np.testing.assert_allclose(
+            np.asarray(fused.user_factors),
+            np.asarray(stepped.user_factors),
+            rtol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused.item_factors),
+            np.asarray(stepped.item_factors),
+            rtol=1e-12,
+        )
