@@ -14,6 +14,12 @@ def configure_platform() -> None:
         import jax
 
         jax.config.update("jax_platforms", platform)
+    if os.environ.get("QMF_TPU_X64"):
+        # full float64 mode (CPU-only; TPUs have no f64 linear algebra) —
+        # used for golden cross-checks against the reference's f64 math
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
 
 
 def enable_compilation_cache() -> None:
