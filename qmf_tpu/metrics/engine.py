@@ -57,6 +57,18 @@ class MetricsEngine:
             val = metric.compute(labels, scores)
             self.record_metric(prefix + name, epoch, val)
 
+    def compute_and_record_train_metrics(self, epoch, labels, scores):
+        """Plain (non-averaged) metrics over flat label/score vectors
+        (reference MetricsEngine.h:58-66)."""
+        self._compute_and_record(
+            self.train_metrics, "train_", epoch, labels, scores
+        )
+
+    def compute_and_record_test_metrics(self, epoch, labels, scores):
+        self._compute_and_record(
+            self.test_metrics, "test_", epoch, labels, scores
+        )
+
     def compute_and_record_train_avg_metrics(self, epoch, labels, scores):
         self._compute_and_record(
             self.train_avg_metrics, "train_avg_", epoch, labels, scores

@@ -107,7 +107,14 @@ class Metric:
         pass
 
     def compute(self, labels, scores) -> float:
+        """(T, I) label/score matrices -> mean over users; 1-D inputs are
+        treated as a single row (the reference's plain scalar ``compute``
+        overload, Metrics.h:30-40)."""
         labels_np = np.asarray(labels)
+        if labels_np.ndim == 1:
+            labels = labels_np[None, :]
+            scores = np.asarray(scores)[None, :]
+            labels_np = np.asarray(labels)
         if labels_np.ndim != 2:
             raise ValueError("labels/scores must be (num_users, num_items)")
         if labels_np.shape[0] == 0:

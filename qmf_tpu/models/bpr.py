@@ -269,10 +269,13 @@ class BPREngine(Engine):
                 "no factor data, have you initialized the engine?"
             )
         cfg = self.config
+        from qmf_tpu.utils.tracing import annotate
+
         start_epoch = self._maybe_resume()
         for epoch in range(start_epoch, cfg.nepochs + 1):
             t0 = time.time()
-            self._epoch()
+            with annotate(f"bpr_epoch_{epoch}"):
+                self._epoch()
             # divergence guard (reference CHECK(isfinite), BPREngine.cpp:184)
             if not bool(jnp.all(jnp.isfinite(self.params.user_factors))):
                 raise FloatingPointError(

@@ -263,14 +263,17 @@ class WALSEngine(Engine):
             raise RuntimeError(
                 "no factor data, have you initialized the engine?"
             )
+        from qmf_tpu.utils.tracing import annotate
+
         start_epoch = self._maybe_resume()
         for epoch in range(start_epoch, self.config.nepochs + 1):
             t0 = time.time()
-            if self.config.fuse_epoch:
-                loss = self._fused_epoch()
-            else:
-                self._iterate("user")
-                loss = self._iterate("item")
+            with annotate(f"wals_epoch_{epoch}"):
+                if self.config.fuse_epoch:
+                    loss = self._fused_epoch()
+                else:
+                    self._iterate("user")
+                    loss = self._iterate("item")
             jax.block_until_ready(self.item_factors)
             log.info(
                 "epoch %d: train loss = %.10g (%.3fs)",

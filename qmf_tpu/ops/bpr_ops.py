@@ -86,6 +86,9 @@ def _is_member(pos_set: PosSet, users: jax.Array, cand: jax.Array) -> jax.Array:
     if items.shape[0] == 0:
         return jnp.zeros(users.shape, dtype=bool)
 
+    # NOTE: a statically-unrolled version of this search (fusing the gather
+    # chain into the surrounding scan body) reliably crashed the TPU runtime
+    # at MovieLens-20M scale; the fori_loop form is slower but stable.
     def body(_, lohi):
         lo, hi = lohi
         mid = (lo + hi) // 2

@@ -200,3 +200,15 @@ class TestMetricsEngine:
         me.test_avg_metrics.append("ghost@x")
         with pytest.raises(KeyError):
             me.compute_and_record_test_avg_metrics(1, [[1.0, 0.0]], [[1.0, 0.0]])
+
+
+class TestPlainMetrics:
+    def test_flat_vector_inputs(self):
+        # reference plain (non-averaged) compute over flat vectors
+        me = MetricsEngine()
+        assert me.add_train_metric("mse")
+        assert me.add_test_metric("auc")
+        me.compute_and_record_train_metrics(1, [1.0, 2.0], [1.0, 4.0])
+        assert me.last("train_mse") == (1, pytest.approx(2.0))
+        me.compute_and_record_test_metrics(1, [1.0, 0.0], [3.0, 1.0])
+        assert me.last("test_auc") == (1, pytest.approx(1.0))
