@@ -5,3 +5,5 @@ from qmf_tpu.parallel.sharded_wals import (  # noqa: F401
     iterate_side_sharded,
     sharded_gramian,
 )
+from qmf_tpu.parallel.sharded_bpr import ShardedBPREngine  # noqa: F401
+from qmf_tpu.parallel import multihost  # noqa: F401
