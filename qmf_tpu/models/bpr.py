@@ -67,7 +67,6 @@ class BPREngine(Engine):
         self._test_eval_set: Optional[tuple] = None
         self.test_users: Optional[np.ndarray] = None
         self.test_labels: Optional[np.ndarray] = None
-        self._shuffle_rng = np.random.default_rng(config.init_seed)
         self._step_key = jax.random.PRNGKey(config.init_seed)
 
         if (

@@ -293,3 +293,37 @@ class TestNativeIO:
             "-3 -1.000000000 0.123456789 -0.500000000\n"
         )
         assert p1.read_text() == expected
+
+
+class TestTracingUtils:
+    def test_step_timer(self):
+        import time
+
+        from qmf_tpu.utils.tracing import StepTimer
+
+        t = StepTimer()
+        with t.measure("work"):
+            time.sleep(0.01)
+        with t.measure("work"):
+            pass
+        n, total, mean = t.summary()["work"]
+        assert n == 2 and total >= 0.01 and mean > 0
+
+    def test_trace_noop_without_dir(self, monkeypatch):
+        from qmf_tpu.utils.tracing import annotate, trace
+
+        monkeypatch.delenv("QMF_TPU_TRACE_DIR", raising=False)
+        with trace():
+            with annotate("region"):
+                pass  # must be side-effect free
+
+
+class TestMultihost:
+    def test_single_process_noop(self, monkeypatch):
+        from qmf_tpu.parallel import multihost
+
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        multihost.initialize()  # no coordinator -> no-op
+        assert multihost.is_coordinator()
+        mesh = multihost.global_mesh()
+        assert mesh.size >= 1
