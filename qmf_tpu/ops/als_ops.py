@@ -18,7 +18,9 @@ row; here a whole degree-bucket of rows is processed at once:
 
 The per-row loss matches the reference exactly (WALSEngine.cpp:289-304):
     loss_u = sum_j (1 + alpha r_uj) - 2 x^T b + x^T B x,   B = A_u - lambda I
-and the epoch loss is sum over rows / (nusers * nitems)
+evaluated here through the algebraic identity x^T B x = x.b - lambda |x|^2
+(valid because A x = b at the solution), which removes the O(B k^2)
+quadratic form. The epoch loss is sum over rows / (nusers * nitems)
 (WALSEngine.cpp:214-215).
 """
 

@@ -150,3 +150,49 @@ class TestBprCli:
             ]
         )
         assert rc == 0
+
+
+class TestWalsCliPrecision:
+    def test_matmul_precision_flag(self, tmp_path, small_data):
+        train_p, _ = small_data
+        rc = wals_cli.main(
+            [
+                f"--train_dataset={train_p}",
+                "--nepochs=1",
+                "--nfactors=4",
+                "--matmul_precision=default",
+                f"--user_factors={tmp_path / 'u.dat'}",
+                f"--item_factors={tmp_path / 'i.dat'}",
+            ]
+        )
+        assert rc == 0
+
+
+class TestSchedulerTaskFailure:
+    def test_bad_train_set_marks_failed(self, tmp_path):
+        import time
+
+        from tests.test_distributed import SchedulerFixture
+        from qmf_tpu.distributed.submit import (
+            scheduler_status,
+            submit_task_file,
+        )
+
+        fx = SchedulerFixture()  # real run_task
+        try:
+            task_file = tmp_path / "task.pb"
+            task_file.write_text(
+                'nepochs : 1\ntrain_set : "/does/not/exist.txt"\n'
+                'user_factors : "u.dat"\nitem_factors : "i.dat"\n'
+            )
+            rsp = submit_task_file("127.0.0.1", fx.port, str(task_file))
+            assert rsp["status"] == "OK"
+            for _ in range(200):
+                st = scheduler_status("127.0.0.1", fx.port)
+                if st["history"]:
+                    break
+                time.sleep(0.05)
+            assert st["history"][-1]["state"] == "failed"
+            assert "error" in st["history"][-1]
+        finally:
+            fx.close()
