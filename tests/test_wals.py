@@ -312,3 +312,35 @@ class TestFusedEpoch:
             np.asarray(stepped.item_factors),
             rtol=1e-12,
         )
+
+
+class TestNegativeValues:
+    def test_lu_solver_handles_negative_ratings(self):
+        """The reference's dsysv_ tolerates indefinite systems from negative
+        values (confidence 1 + alpha*v < 0); the lu solver is our analog."""
+        rng = np.random.default_rng(11)
+        users = rng.integers(1, 20, 200)
+        items = rng.integers(1, 15, 200)
+        vals = rng.uniform(-0.02, 5.0, 200)  # mildly negative values
+        ds = Dataset(users, items, vals)
+        eng = WALSEngine(
+            WALSConfig(nepochs=2, nfactors=4, solver="lu", init_seed=0,
+                       dtype="float64")
+        )
+        eng.init(ds)
+        eng.optimize()
+        assert np.isfinite(np.asarray(eng.user_factors)).all()
+
+    def test_lu_matches_cholesky_on_spd(self):
+        ds = _toy_dataset()
+        outs = []
+        for solver in ("cholesky", "lu", "cholesky_xla"):
+            eng = WALSEngine(
+                WALSConfig(nepochs=2, nfactors=3, solver=solver, init_seed=1,
+                           dtype="float64")
+            )
+            eng.init(ds)
+            eng.optimize()
+            outs.append(np.asarray(eng.user_factors))
+        np.testing.assert_allclose(outs[0], outs[1], rtol=1e-9)
+        np.testing.assert_allclose(outs[0], outs[2], rtol=1e-9)
