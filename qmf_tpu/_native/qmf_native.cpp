@@ -75,38 +75,44 @@ inline const char* parse_i64(const char* p, const char* end, long long* out) {
   return p;
 }
 
-// parse double (fixed/scientific), fully bounds-checked — strtod would need
-// NUL termination and can fault on a page-aligned mmap tail
+// parse double (fixed/scientific). The mmap'd buffer is not NUL-terminated
+// (strtod straight on it could fault on a page-aligned tail), so first scan
+// the token extent fully bounds-checked, then strtod a bounded local copy —
+// bit-exact with the reference's sscanf %lf (qmf/DatasetReader.cpp:33).
+// Requires at least one mantissa digit: a bare "." / "-." is a parse error,
+// not 0.0. Returns nullptr on failure.
 inline const char* parse_f64(const char* p, const char* end, double* out) {
   p = skip_ws(p, end);
-  bool neg = false;
-  if (p < end && (*p == '-' || *p == '+')) neg = (*p++ == '-');
-  const char* digits_start = p;
-  double v = 0.0;
+  const char* start = p;
+  if (p < end && (*p == '-' || *p == '+')) ++p;
+  bool any_digit = false;
   while (p < end && isdigit(static_cast<unsigned char>(*p))) {
-    v = v * 10.0 + (*p++ - '0');
+    ++p;
+    any_digit = true;
   }
   if (p < end && *p == '.') {
     ++p;
-    double scale = 0.1;
     while (p < end && isdigit(static_cast<unsigned char>(*p))) {
-      v += (*p++ - '0') * scale;
-      scale *= 0.1;
+      ++p;
+      any_digit = true;
     }
   }
-  if (p == digits_start) return nullptr;  // no digits at all
+  if (!any_digit) return nullptr;
   if (p < end && (*p == 'e' || *p == 'E')) {
     ++p;
-    bool eneg = false;
-    if (p < end && (*p == '-' || *p == '+')) eneg = (*p++ == '-');
+    if (p < end && (*p == '-' || *p == '+')) ++p;
     if (p >= end || !isdigit(static_cast<unsigned char>(*p))) return nullptr;
-    int ev = 0;
-    while (p < end && isdigit(static_cast<unsigned char>(*p))) {
-      ev = ev * 10 + (*p++ - '0');
-    }
-    v *= pow(10.0, eneg ? -ev : ev);
+    while (p < end && isdigit(static_cast<unsigned char>(*p))) ++p;
   }
-  *out = neg ? -v : v;
+  char buf[512];
+  size_t len = static_cast<size_t>(p - start);
+  if (len >= sizeof(buf)) return nullptr;
+  memcpy(buf, start, len);
+  buf[len] = '\0';
+  char* endp = nullptr;
+  double v = strtod(buf, &endp);
+  if (endp != buf + len) return nullptr;
+  *out = v;
   return p;
 }
 
@@ -123,6 +129,18 @@ size_t count_lines_range(const char* p, const char* end) {
     // count only non-blank lines
     const char* q = skip_ws(p, static_cast<const char*>(nl));
     if (q < static_cast<const char*>(nl)) ++n;
+    p = static_cast<const char*>(nl) + 1;
+  }
+  return n;
+}
+
+// physical newline count in [p, end) — for 1-based error line numbers
+size_t count_newlines(const char* p, const char* end) {
+  size_t n = 0;
+  while (p < end) {
+    const void* nl = memchr(p, '\n', static_cast<size_t>(end - p));
+    if (!nl) break;
+    ++n;
     p = static_cast<const char*>(nl) + 1;
   }
   return n;
@@ -145,14 +163,23 @@ long long qmf_count_lines(const char* path) {
 }
 
 // Parse "<user> <item> <value>" lines into the output arrays.
-// Returns number parsed, or -lineno of the first malformed line.
+// Returns number parsed (>= 0), or a distinct error code:
+//   QMF_ERR_OPEN (-1)      file could not be opened/mapped
+//   QMF_ERR_CAPACITY (-2)  more lines than `capacity` (file grew after
+//                          qmf_count_lines)
+//   QMF_ERR_PARSE (-3)     malformed line; *err_line (1-based) says which
+// err_line may be NULL.
+#define QMF_ERR_OPEN (-1)
+#define QMF_ERR_CAPACITY (-2)
+#define QMF_ERR_PARSE (-3)
 long long qmf_read_dataset(const char* path,
                            long long* users,
                            long long* items,
                            double* values,
-                           long long capacity) {
+                           long long capacity,
+                           long long* err_line) {
   MappedFile mf;
-  if (!mf.open(path)) return -1;
+  if (!mf.open(path)) return QMF_ERR_OPEN;
   const char* begin = mf.data;
   const char* end = mf.data + mf.size;
 
@@ -181,7 +208,9 @@ long long qmf_read_dataset(const char* path,
 
   std::vector<size_t> offsets(nthreads + 1, 0);
   for (int t = 0; t < nthreads; ++t) offsets[t + 1] = offsets[t] + counts[t];
-  if (static_cast<long long>(offsets[nthreads]) > capacity) return -1;
+  if (static_cast<long long>(offsets[nthreads]) > capacity) {
+    return QMF_ERR_CAPACITY;
+  }
 
   std::atomic<long long> bad_line{0};
   std::vector<size_t> line_base(nthreads, 0);
@@ -191,11 +220,9 @@ long long qmf_read_dataset(const char* path,
       const char* p = starts[t];
       const char* rend = starts[t + 1];
       size_t out = offsets[t];
-      size_t line = 0;
       while (p < rend) {
         const void* nlv = memchr(p, '\n', static_cast<size_t>(rend - p));
         const char* nl = nlv ? static_cast<const char*>(nlv) : rend;
-        ++line;
         const char* q = skip_ws(p, nl);
         if (q < nl) {  // non-blank
           long long u, i;
@@ -204,8 +231,10 @@ long long qmf_read_dataset(const char* path,
           if (c) c = parse_i64(c, nl, &i);
           if (c) c = parse_f64(c, nl, &v);
           if (!c) {
+            // p is the start of the offending line: its physical 1-based
+            // number is (newlines before it) + 1
             long long global_line =
-                static_cast<long long>(count_lines_range(begin, p) + line);
+                static_cast<long long>(count_newlines(begin, p) + 1);
             bad_line.store(global_line, std::memory_order_relaxed);
             return;
           }
@@ -219,7 +248,10 @@ long long qmf_read_dataset(const char* path,
     });
   }
   for (auto& th : pool) th.join();
-  if (bad_line.load()) return -bad_line.load();
+  if (bad_line.load()) {
+    if (err_line) *err_line = bad_line.load();
+    return QMF_ERR_PARSE;
+  }
   return static_cast<long long>(offsets[nthreads]);
 }
 

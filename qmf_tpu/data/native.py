@@ -43,6 +43,7 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_longlong),  # item_ids out
         ctypes.POINTER(ctypes.c_double),  # values out
         ctypes.c_longlong,  # capacity
+        ctypes.POINTER(ctypes.c_longlong),  # err_line out (parse errors)
     ]
     lib.qmf_read_dataset.restype = ctypes.c_longlong
 
@@ -76,15 +77,27 @@ def read_dataset(path: str):
     users = np.empty(n, dtype=np.int64)
     items = np.empty(n, dtype=np.int64)
     values = np.empty(n, dtype=np.float64)
+    err_line = ctypes.c_longlong(0)
     got = lib.qmf_read_dataset(
         path_b,
         users.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
         items.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
         values.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         n,
+        ctypes.byref(err_line),
     )
+    if got == -1:  # QMF_ERR_OPEN
+        raise IOError(f"native reader failed to open {path}")
+    if got == -2:  # QMF_ERR_CAPACITY: file grew between count and read
+        raise IOError(
+            f"{path} changed while being read (more lines than counted)"
+        )
+    if got == -3:  # QMF_ERR_PARSE
+        raise ValueError(
+            f"the file format is incorrect: {path} (line {err_line.value})"
+        )
     if got < 0:
-        raise ValueError(f"the file format is incorrect: {path} (line {-got})")
+        raise IOError(f"native reader failed for {path} (code {got})")
     return Dataset(users[:got], items[:got], values[:got])
 
 

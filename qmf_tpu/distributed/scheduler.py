@@ -45,9 +45,13 @@ class LaborInfo:
         self.taskid: int = 0
         self.epoch: int = 0
         self.writer: Optional[asyncio.StreamWriter] = None
+        # monotonic time a heartbeat probe was sent, None when not probing;
+        # any inbound message clears it (the probe reply arrived)
+        self.probe_sent: Optional[float] = None
 
     def touch(self):
         self.last_seen = time.monotonic()
+        self.probe_sent = None
 
     @property
     def stale_s(self) -> float:
@@ -222,12 +226,18 @@ class Scheduler:
             await asyncio.sleep(min(self._hb_interval / 3, 1.0))
             dead = []
             for peer, li in self.labors.items():
-                if li.stale_s > self._hb_interval:
+                if li.probe_sent is not None:
+                    # probed and still silent: one interval to reply, then drop
+                    # (a hung-but-connected labor must not be re-touched,
+                    # reference drops on staleness, Scheduler.cpp:380-389)
+                    if time.monotonic() - li.probe_sent > self._hb_interval:
+                        dead.append(peer)
+                elif li.stale_s > self._hb_interval:
                     try:
                         await protocol.write_frame(
                             li.writer, {"kind": "heartbeat"}
                         )
-                        li.touch()  # probe sent; labor gets one interval to reply
+                        li.probe_sent = time.monotonic()
                     except (ConnectionError, RuntimeError):
                         dead.append(peer)
             for peer in dead:

@@ -59,12 +59,32 @@ _LINE_RE = re.compile(
 )
 
 
+def _strip_comment(line: str) -> str:
+    """Drop a trailing ``#`` comment, but only outside quoted strings —
+    ``train_set : "data#1.csv"`` is legal proto2 TextFormat."""
+    quote = None
+    i = 0
+    while i < len(line):
+        ch = line[i]
+        if quote:
+            if ch == "\\":
+                i += 1  # skip escaped char inside the string
+            elif ch == quote:
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+        elif ch == "#":
+            return line[:i]
+        i += 1
+    return line
+
+
 def parse_taskdef(text: str) -> TaskDef:
     """Parse proto2 TextFormat (flat message) into a TaskDef."""
     td = TaskDef()
     types = {f.name: f.type for f in dataclasses.fields(TaskDef)}
     for lineno, raw in enumerate(text.splitlines(), 1):
-        line = raw.split("#", 1)[0].strip()
+        line = _strip_comment(raw).strip()
         if not line:
             continue
         m = _LINE_RE.match(line)

@@ -240,6 +240,12 @@ class BPREngine(Engine):
             jnp.asarray(arrays["item_biases"], dtype=self.dtype),
         )
         self.learning_rate = float(meta["learning_rate"])
+        if "step_key" in arrays:
+            # restore RNG state so resumed epochs draw the same
+            # shuffle/negative-sample sequence a straight run would
+            self._step_key = jnp.asarray(
+                arrays["step_key"], dtype=jnp.uint32
+            )
         log.info("resumed from %s at epoch %d", path, epoch)
         return epoch + 1
 
@@ -255,6 +261,8 @@ class BPREngine(Engine):
                     "user_factors": np.asarray(self.params.user_factors),
                     "item_factors": np.asarray(self.params.item_factors),
                     "item_biases": np.asarray(self.params.item_biases),
+                    # post-epoch PRNG state (raw uint32 key data)
+                    "step_key": np.asarray(self._step_key),
                 },
                 meta={
                     "engine": "bpr",
@@ -282,9 +290,12 @@ class BPREngine(Engine):
                     "(--init_learning_rate)"
                 )
             self.evaluate(epoch, elapsed=time.time() - t0)
-            self._maybe_checkpoint(epoch)
+            # decay BEFORE checkpointing so a resumed run continues with the
+            # same learning rate a straight run would use for epoch+1
+            # (reference decays at end of epoch too, BPREngine.cpp:169-171)
             if cfg.decay_rate < 1.0:
                 self.learning_rate *= cfg.decay_rate
+            self._maybe_checkpoint(epoch)
             # shuffle_training_set is honored on-device inside _epoch
             # (jax.random.permutation of the triplet stream per epoch)
 

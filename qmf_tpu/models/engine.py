@@ -74,12 +74,16 @@ class Engine:
                 rng.permutation(len(test_users))[:num_test_users]
             ]
 
-        user_pos = {int(u): t for t, u in enumerate(test_users)}
+        # vectorized dense fill: map each element's user index to its row in
+        # test_users (or -1 if not selected), then one fancy-indexed
+        # assignment (last write wins on duplicates, matching the
+        # reference's sequential overwrite, qmf/Engine.cpp:62-66)
+        user_pos = np.full(user_index.size, -1, dtype=np.int64)
+        user_pos[test_users] = np.arange(len(test_users))
+        rows = user_pos[uidx]
+        sel = rows >= 0
         labels = np.zeros((len(test_users), item_index.size), dtype=np.float64)
-        for u, i, v in zip(uidx, iidx, values):
-            t = user_pos.get(int(u))
-            if t is not None:
-                labels[t, i] = v
+        labels[rows[sel], iidx[sel]] = values[sel]
         return test_users.astype(np.int64), labels
 
     @staticmethod

@@ -99,10 +99,45 @@ class TestBPRResume:
         eng2.enable_checkpointing(str(tmp_path))
         start = eng2._maybe_resume()
         assert start == 4
-        # lr restored to the value after 2 decays (saved before epoch-3 decay)
-        assert eng2.learning_rate == pytest.approx(0.05 * 0.5**2)
+        # lr restored to the POST-decay value after epoch 3, so resumed
+        # epoch 4 trains at exactly the rate a straight run would use
+        assert eng2.learning_rate == pytest.approx(0.05 * 0.5**3)
         np.testing.assert_allclose(
             np.asarray(eng2.params.user_factors),
             np.asarray(eng.params.user_factors),
             rtol=1e-6,
+        )
+        # RNG state restored too: resumed epochs continue the key sequence
+        np.testing.assert_array_equal(
+            np.asarray(eng2._step_key), np.asarray(eng._step_key)
+        )
+
+    def test_resumed_run_matches_straight_run(self, tmp_path):
+        """A run interrupted after epoch 2 and resumed to epoch 4 must
+        produce bitwise the same parameters as an uninterrupted 4-epoch run
+        (requires both the decayed LR and the PRNG key in the snapshot)."""
+        ds = _dataset(2)
+        cfg = dict(nepochs=4, nfactors=4, batch_size=128, decay_rate=0.5)
+
+        full = BPREngine(BPRConfig(**cfg))
+        full.init(ds)
+        full.optimize()
+
+        part = BPREngine(BPRConfig(**dict(cfg, nepochs=2)))
+        part.init(ds)
+        part.enable_checkpointing(str(tmp_path))
+        part.optimize()
+
+        resumed = BPREngine(BPRConfig(**cfg))
+        resumed.init(ds)
+        resumed.enable_checkpointing(str(tmp_path))
+        resumed.optimize()
+
+        np.testing.assert_array_equal(
+            np.asarray(resumed.params.user_factors),
+            np.asarray(full.params.user_factors),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(resumed.params.item_factors),
+            np.asarray(full.params.item_factors),
         )

@@ -277,8 +277,37 @@ class TestNativeIO:
         p.write_text("1 2 3.0\nx y z\n")
         from qmf_tpu.data import native
 
-        with pytest.raises(ValueError):
+        with pytest.raises(ValueError, match="line 2"):
             native.read_dataset(str(p))
+
+    def test_reader_bare_dot_is_parse_error(self, tmp_path):
+        # a value of "." or "-." has no digits and must not parse as 0.0
+        from qmf_tpu.data import native
+
+        for bad in (".", "-."):
+            p = tmp_path / "dot.txt"
+            p.write_text(f"1 2 {bad}\n")
+            with pytest.raises(ValueError, match="line 1"):
+                native.read_dataset(str(p))
+
+    def test_reader_strtod_parity(self, tmp_path):
+        # values must parse bit-identically to the reference's sscanf %lf
+        from qmf_tpu.data import native
+
+        cases = [
+            "0.1", "2.675", "1e308", "4.9e-324", "123456789.123456789",
+            "-0.3333333333333333", "9007199254740993", "1.7976931348623157e308",
+        ]
+        p = tmp_path / "vals.txt"
+        p.write_text("".join(f"1 2 {v}\n" for v in cases))
+        ds = native.read_dataset(str(p))
+        np.testing.assert_array_equal(ds.values, [float(v) for v in cases])
+
+    def test_reader_open_failure_is_ioerror(self, tmp_path):
+        from qmf_tpu.data import native
+
+        with pytest.raises(IOError, match="open"):
+            native.read_dataset(str(tmp_path / "nope.txt"))
 
     def test_writer_matches_python_format(self, tmp_path):
         from qmf_tpu.data import native

@@ -53,6 +53,16 @@ class TestTaskDef:
         )
         assert td.regularization_lambda == 0.1
 
+    def test_hash_inside_quoted_string(self):
+        # '#' is only a comment delimiter outside quoted strings
+        # (legal proto2 TextFormat, e.g. file names containing '#')
+        td = parse_taskdef(
+            'train_set : "data#1.csv"  # trailing comment\n'
+            'user_factors : "u#f.dat"\nitem_factors : "c"\n'
+        )
+        assert td.train_set == "data#1.csv"
+        assert td.user_factors == "u#f.dat"
+
 
 class TestProtocol:
     def test_frame_roundtrip(self):
@@ -192,6 +202,38 @@ class TestControlPlane:
             assert li is not None and li.taskid == 1
         finally:
             labor_future.cancel()
+            fx.close()
+
+    def test_hung_labor_is_dropped_after_unanswered_probe(self):
+        """A connected-but-silent labor must be probed once and then dropped
+        after one unanswered interval — not re-touched forever."""
+        import time
+
+        fx = SchedulerFixture(runner=_fake_runner([]), heartbeat_interval=0.3)
+        try:
+            # register a fake labor whose writer swallows probes silently
+            class _NullWriter:
+                def write(self, data):
+                    pass
+
+                async def drain(self):
+                    pass
+
+            async def attach_fake():
+                from qmf_tpu.distributed.scheduler import LaborInfo
+
+                li = LaborInfo("fake:1")
+                li.writer = _NullWriter()
+                fx.scheduler.labors["fake:1"] = li
+
+            fx.run_coro(attach_fake()).result(10)
+            # stale (>interval) -> probe sent -> no reply -> dropped
+            for _ in range(100):
+                if "fake:1" not in fx.scheduler.labors:
+                    break
+                time.sleep(0.05)
+            assert "fake:1" not in fx.scheduler.labors
+        finally:
             fx.close()
 
     def test_labor_detach_is_noticed(self):
