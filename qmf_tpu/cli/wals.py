@@ -74,7 +74,11 @@ def make_flags() -> Flags:
     fl.define_string("item_factors", "", "filename of item factors")
     # TPU-native extras
     fl.define_string("dtype", "float32", "device compute dtype")
-    fl.define_string("solver", "cholesky", "per-row solver: cholesky | lu")
+    fl.define_string(
+        "solver",
+        "cholesky",
+        "per-row solver: cholesky | pallas (fused TPU kernel) | lu",
+    )
     fl.define_integer("batch_rows", 4096, "max rows per device solve batch")
     fl.define_string(
         "matmul_precision",

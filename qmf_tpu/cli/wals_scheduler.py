@@ -20,6 +20,22 @@ def make_flags() -> Flags:
     fl = Flags("wals_scheduler")
     fl.define_string("scheduler_ip", "0.0.0.0", "scheduler bind address")
     fl.define_integer("scheduler_port", 8900, "scheduler bind port")
+    # multi-process training over attached labors (jax.distributed)
+    fl.define_bool(
+        "multiproc",
+        True,
+        "co-train across attached labors via a jax.distributed rendezvous",
+    )
+    fl.define_string(
+        "coordinator_ip",
+        "127.0.0.1",
+        "address labors use to reach this host's jax.distributed coordinator",
+    )
+    fl.define_integer(
+        "n_local_devices",
+        0,
+        "force N virtual CPU devices per worker process (0 = native platform)",
+    )
     return fl
 
 
@@ -28,7 +44,13 @@ def main(argv=None) -> int:
     fl.parse(argv)
     configure_platform()
     enable_compilation_cache()
-    scheduler = Scheduler(fl.scheduler_ip, fl.scheduler_port)
+    scheduler = Scheduler(
+        fl.scheduler_ip,
+        fl.scheduler_port,
+        multiproc=fl.multiproc,
+        coordinator_host=fl.coordinator_ip,
+        n_local_devices=fl.n_local_devices,
+    )
 
     async def _run():
         loop = asyncio.get_running_loop()

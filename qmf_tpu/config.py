@@ -35,7 +35,8 @@ class WALSConfig:
     # Computation dtype on device. float32 is the TPU-native choice; the
     # reference computes in float64 on CPU (qmf/Types.h:24).
     dtype: str = "float32"
-    # "cholesky" (SPD fast path, implicit-feedback standard) or "lu"
+    # "cholesky" (SPD fast path, implicit-feedback standard), "pallas"
+    # (fused factor+solve TPU kernel, fastest on real hardware), or "lu"
     # (general symmetric, matches dsysv_'s tolerance of indefinite systems).
     solver: str = "cholesky"
     # Max rows per solve bucket on device; bounds compile count and memory.

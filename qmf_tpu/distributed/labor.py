@@ -14,6 +14,10 @@ programs; a *labor process* is a per-host agent whose jobs are:
   runtime's job now);
 - elasticity: labors may attach/detach at any time, mirroring the
   reference's any-time kAttachLabor semantics.
+- compute: on `task_start`, spawn a training worker subprocess that joins
+  the scheduler-announced jax.distributed rendezvous and co-executes the
+  sharded SPMD program (the kCalc compute role, Labor.cpp:326-405, redesigned
+  as SPMD co-execution; see qmf_tpu/distributed/worker.py).
 """
 
 from __future__ import annotations
@@ -33,10 +37,14 @@ class Labor:
         self.epoch = 0
         self.attached = False
         self.current_task: Optional[Dict[str, Any]] = None
+        self.last_result: Optional[Dict[str, Any]] = None
+        self._writer: Optional[asyncio.StreamWriter] = None
+        self._worker_task: Optional[asyncio.Task] = None
 
     async def run(self) -> None:
         """Connect, attach, then serve heartbeats/announcements forever."""
         reader, writer = await asyncio.open_connection(self.host, self.port)
+        self._writer = writer
         try:
             await protocol.write_frame(writer, {"kind": "attach_labor"})
             rsp = await protocol.read_frame(reader)
@@ -55,6 +63,8 @@ class Labor:
                     await protocol.write_frame(writer, reply)
         finally:
             self.attached = False
+            if self._worker_task is not None:
+                self._worker_task.cancel()
             writer.close()
 
     def _dispatch(self, msg: Dict[str, Any]) -> Optional[Dict[str, Any]]:
@@ -72,4 +82,56 @@ class Labor:
             self.current_task = msg.get("task")
             log.info("task %d announced", self.taskid)
             return None
+        if kind == "task_prepare":
+            # readiness ack (quorum phase); decline if still busy
+            if self._worker_task is not None and not self._worker_task.done():
+                log.warning(
+                    "task %s prepare ignored: worker busy", msg.get("taskid")
+                )
+                return None
+            return {"kind": "task_ready", "taskid": msg.get("taskid", 0)}
+        if kind == "task_start":
+            self.taskid = msg.get("taskid", 0)
+            self.epoch = 0
+            self.current_task = msg.get("task")
+            log.info(
+                "task %d: joining %d-process run as process %d",
+                self.taskid,
+                msg.get("num_processes", 1),
+                msg.get("process_id", -1),
+            )
+            # run in the background so heartbeats stay answered
+            self._worker_task = asyncio.ensure_future(self._run_worker(msg))
+            return None
         return None
+
+    async def _run_worker(self, msg: Dict[str, Any]) -> None:
+        from qmf_tpu.distributed.scheduler import run_worker_subprocess
+        from qmf_tpu.distributed.taskdef import TaskDef
+
+        taskid = msg.get("taskid", 0)
+        try:
+            td = TaskDef.from_dict(msg["task"])
+            result = await run_worker_subprocess(
+                td,
+                taskid=taskid,
+                coordinator=msg["coordinator"],
+                num_processes=msg["num_processes"],
+                process_id=msg["process_id"],
+                n_local_devices=msg.get("n_local_devices", 0),
+            )
+            self.last_result = result
+            reply = {"kind": "task_done", "taskid": taskid, "rc": 0}
+        except Exception as e:  # worker failures must not kill the agent
+            log.error("task %d worker failed: %s", taskid, e)
+            reply = {
+                "kind": "task_done",
+                "taskid": taskid,
+                "rc": 1,
+                "error": str(e)[-500:],
+            }
+        if self._writer is not None:
+            try:
+                await protocol.write_frame(self._writer, reply)
+            except (ConnectionError, RuntimeError):
+                pass

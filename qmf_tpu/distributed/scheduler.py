@@ -67,6 +67,10 @@ class Scheduler:
         port: int = 8900,
         runner=None,
         heartbeat_interval: float = protocol.HEARTBEAT_INTERVAL_S,
+        multiproc: bool = True,
+        coordinator_host: str = "127.0.0.1",
+        n_local_devices: int = 0,
+        prepare_timeout: float = 10.0,
     ):
         self.host = host
         self.port = port
@@ -79,6 +83,15 @@ class Scheduler:
         self._hb_interval = heartbeat_interval
         self._server: Optional[asyncio.AbstractServer] = None
         self._tasks: list = []
+        # multi-process training (jax.distributed rendezvous across labors)
+        self.multiproc = multiproc
+        self.coordinator_host = coordinator_host
+        self.n_local_devices = n_local_devices
+        self.prepare_timeout = prepare_timeout
+        self._ready_taskid = 0
+        self._ready_peers: set = set()
+        self._ready_event: Optional[asyncio.Event] = None
+        self._done_peers: Dict[str, Dict[str, Any]] = {}
 
     # --- lifecycle ---------------------------------------------------------
     async def start(self) -> None:
@@ -141,6 +154,26 @@ class Scheduler:
                 self.labors[peer].taskid = msg.get("taskid", 0)
                 self.labors[peer].epoch = msg.get("epoch", 0)
             return None
+        if kind == "task_ready":
+            # readiness ack for the two-phase multi-process start (quorum
+            # analog of kPushRateRsp acks, reference RunOneTask.cpp:91-107)
+            if (
+                msg.get("taskid") == self._ready_taskid
+                and peer in self.labors
+            ):
+                self._ready_peers.add(peer)
+                if self._ready_event is not None:
+                    self._ready_event.set()
+            return None
+        if kind == "task_done":
+            self._done_peers[peer] = msg
+            log.info(
+                "labor %s finished task %s (rc=%s)",
+                peer,
+                msg.get("taskid"),
+                msg.get("rc"),
+            )
+            return None
         if kind == "status":
             return {
                 "kind": "status_rsp",
@@ -189,7 +222,12 @@ class Scheduler:
             await self._announce_task(item)
             try:
                 td = TaskDef.from_dict(item["task"])
-                result = await asyncio.to_thread(self._runner, td, item["taskid"])
+                if self.multiproc and self.labors and self._runner is run_task:
+                    result = await self._run_multiproc(td, item["taskid"])
+                else:
+                    result = await asyncio.to_thread(
+                        self._runner, td, item["taskid"]
+                    )
                 item["state"] = "done"
                 item["result"] = result
             except Exception as e:  # task failures must not kill the daemon
@@ -201,6 +239,106 @@ class Scheduler:
                 {k: item[k] for k in item if k not in ("task",)}
             )
             self.current = None
+
+    async def _broadcast(self, msg: Dict[str, Any], peers=None) -> list:
+        """Send a frame to labors (all, or the given peers); drops dead ones.
+        Returns the peers actually reached."""
+        sent = []
+        dead = []
+        targets = list(peers) if peers is not None else list(self.labors)
+        for peer in targets:
+            li = self.labors.get(peer)
+            if li is None:
+                continue
+            try:
+                await protocol.write_frame(li.writer, msg)
+                sent.append(peer)
+            except (ConnectionError, RuntimeError):
+                dead.append(peer)
+        for peer in dead:
+            self.labors.pop(peer, None)
+        return sent
+
+    async def _run_multiproc(self, td: TaskDef, taskid: int) -> Dict[str, Any]:
+        """Two-phase multi-process training over scheduler + labors.
+
+        Phase 1 (readiness/quorum, reference RunOneTask.cpp:91-107): announce
+        `task_prepare`, wait up to prepare_timeout for acks; require at least
+        floor(n/2)+1 or fall back to a local single-process run.
+        Phase 2: assign process ids, send `task_start` with the
+        jax.distributed coordinator address, and run this process's worker
+        as process 0; every process co-executes the sharded SPMD program
+        (qmf_tpu/distributed/worker.py).
+        """
+        import socket as _socket
+
+        n_labors = len(self.labors)
+        quorum = n_labors // 2 + 1
+        self._ready_taskid = taskid
+        self._ready_peers = set()
+        self._done_peers = {}
+        self._ready_event = asyncio.Event()
+        asked = await self._broadcast(
+            {"kind": "task_prepare", "taskid": taskid}
+        )
+        deadline = time.monotonic() + self.prepare_timeout
+        while len(self._ready_peers) < len(asked):
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            self._ready_event.clear()
+            try:
+                await asyncio.wait_for(self._ready_event.wait(), remaining)
+            except asyncio.TimeoutError:
+                break
+        ready = sorted(self._ready_peers & set(self.labors))
+        if len(ready) < quorum:
+            log.warning(
+                "task %d: only %d/%d labors ready (quorum %d) — "
+                "running single-process locally",
+                taskid,
+                len(ready),
+                n_labors,
+                quorum,
+            )
+            return await asyncio.to_thread(self._runner, td, taskid)
+
+        # pick a coordinator port (process 0 = this host's worker)
+        with _socket.socket() as s:
+            s.bind((self.coordinator_host, 0))
+            coord_port = s.getsockname()[1]
+        coordinator = f"{self.coordinator_host}:{coord_port}"
+        num_processes = 1 + len(ready)
+        log.info(
+            "task %d: starting %d-process run (coordinator %s, labors %s)",
+            taskid,
+            num_processes,
+            coordinator,
+            ready,
+        )
+        for i, peer in enumerate(ready):
+            await self._broadcast(
+                {
+                    "kind": "task_start",
+                    "taskid": taskid,
+                    "task": td.to_dict(),
+                    "coordinator": coordinator,
+                    "num_processes": num_processes,
+                    "process_id": i + 1,
+                    "n_local_devices": self.n_local_devices,
+                },
+                peers=[peer],
+            )
+        result = await run_worker_subprocess(
+            td,
+            taskid=taskid,
+            coordinator=coordinator,
+            num_processes=num_processes,
+            process_id=0,
+            n_local_devices=self.n_local_devices,
+        )
+        result["labors"] = ready
+        return result
 
     async def _announce_task(self, item: Dict[str, Any]) -> None:
         """Tell attached labors which task is active (kPushRate-era sync,
@@ -243,6 +381,80 @@ class Scheduler:
             for peer in dead:
                 log.warning("labor %s dead, dropping", peer)
                 del self.labors[peer]
+
+
+async def run_worker_subprocess(
+    td: TaskDef,
+    taskid: int,
+    coordinator: str,
+    num_processes: int,
+    process_id: int,
+    n_local_devices: int = 0,
+    timeout: float = 3600.0,
+) -> Dict[str, Any]:
+    """Spawn one training worker process and await its result JSON.
+
+    A fresh subprocess per task because a jax.distributed rendezvous is
+    once-per-process-lifetime (the reference kept long-lived labors because
+    its protocol was stateless per bucket; ours binds a process group).
+    """
+    import json
+    import sys
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(
+        mode="w", suffix=f".task{taskid}.json", delete=False
+    ) as f:
+        json.dump(td.to_dict(), f)
+        task_path = f.name
+    result_path = task_path + ".result"
+    cmd = [
+        sys.executable,
+        "-m",
+        "qmf_tpu.distributed.worker",
+        "--task-json",
+        "@" + task_path,
+        "--coordinator",
+        coordinator,
+        "--num-processes",
+        str(num_processes),
+        "--process-id",
+        str(process_id),
+        "--n-local-devices",
+        str(n_local_devices),
+        "--taskid",
+        str(taskid),
+        "--result",
+        result_path,
+    ]
+    proc = await asyncio.create_subprocess_exec(
+        *cmd,
+        stdout=asyncio.subprocess.PIPE,
+        stderr=asyncio.subprocess.STDOUT,
+    )
+    try:
+        out, _ = await asyncio.wait_for(proc.communicate(), timeout)
+    except asyncio.TimeoutError:
+        proc.kill()
+        raise RuntimeError(f"worker process {process_id} timed out")
+    finally:
+        import os as _os
+
+        try:
+            _os.unlink(task_path)
+        except OSError:
+            pass
+    if proc.returncode != 0:
+        tail = out.decode(errors="replace")[-2000:]
+        raise RuntimeError(
+            f"worker process {process_id} failed (rc={proc.returncode}):\n{tail}"
+        )
+    import os as _os
+
+    with open(result_path) as f:
+        result = json.load(f)
+    _os.unlink(result_path)
+    return result
 
 
 def run_task(td: TaskDef, taskid: int) -> Dict[str, Any]:

@@ -1,0 +1,178 @@
+"""Per-process training worker for multi-process (multi-host) WALS.
+
+This is the compute role the reference's Labor played
+(reference distributed/labor/Labor.cpp:326-405: receive dataset + fixed
+factors, solve 10k-row buckets, send rows back). TPU-native redesign: every
+participating process joins ONE jax.distributed rendezvous and co-executes
+the SAME sharded SPMD program (qmf_tpu/parallel/engine.py) over the global
+device mesh — the scheduler process's worker is process 0, each labor host
+runs one worker as process 1..N-1. Dataset rows are read per-process from
+the shared filesystem (the reference also assumed a shared filesystem for
+task files, wals_submit.cpp:17-25) and all cross-device traffic rides the
+accelerator interconnect instead of the reference's TCP star.
+
+The worker is launched as a fresh subprocess per task (one jax.distributed
+rendezvous per process lifetime), with `python -m qmf_tpu.distributed.worker`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Any, Dict, Optional
+
+from qmf_tpu.distributed.taskdef import TaskDef
+from qmf_tpu.utils.logging import log
+
+
+def _force_virtual_cpu(n_local_devices: int) -> None:
+    """Pin this process to n virtual CPU devices (test/dev deployments).
+
+    Must run before the first jax backend init; works after `import jax`
+    because backend init is lazy (see tests/conftest.py).
+    """
+    import re
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    # replace any inherited count (e.g. a test harness parent's) with ours
+    flags = re.sub(
+        r"--xla_force_host_platform_device_count=\d+", "", flags
+    ).strip()
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={n_local_devices}"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def run_worker(
+    td: TaskDef,
+    coordinator: Optional[str] = None,
+    num_processes: int = 1,
+    process_id: int = 0,
+    n_local_devices: int = 0,
+    taskid: int = 0,
+) -> Dict[str, Any]:
+    """Join the rendezvous, co-train, save factors on process 0.
+
+    Returns a result dict (on every process; only process 0's is reported).
+    """
+    if n_local_devices:
+        _force_virtual_cpu(n_local_devices)
+
+    import time
+
+    import jax
+
+    from qmf_tpu.config import WALSConfig
+    from qmf_tpu.data import read_dataset
+    from qmf_tpu.parallel import ShardedWALSEngine, multihost
+
+    if td.dtype == "float64":
+        # f64 golden mode (CPU only; used for cross-run bit-exactness)
+        jax.config.update("jax_enable_x64", True)
+    if num_processes > 1:
+        multihost.initialize(
+            coordinator=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    mesh = multihost.global_mesh()
+
+    cfg = WALSConfig(
+        nepochs=td.nepochs,
+        nfactors=td.nfactors,
+        regularization_lambda=td.regularization_lambda,
+        confidence_weight=td.confidence_weight,
+        init_distribution_bound=td.init_distribution_bound,
+        distribution_file=td.distribution_file,
+        dtype=td.dtype,
+        solver=td.solver,
+    )
+    engine = ShardedWALSEngine(cfg, mesh=mesh)
+    engine.init(read_dataset(td.train_set))
+    t0 = time.time()
+    engine.optimize()
+    wall = time.time() - t0
+
+    # Replicate the final factors across processes (all processes must
+    # execute this collective), then only process 0 touches the filesystem —
+    # the analog of the reference scheduler gathering kCalcRsp rows before
+    # saveFactors (RunOneTask.cpp:153-155).
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = jax.jit(
+        lambda u, v: (u, v),
+        out_shardings=NamedSharding(mesh, P()),
+    )(engine.user_factors, engine.item_factors)
+    if jax.process_index() == 0:
+        engine.save_factor_data(
+            np.asarray(rep[0], dtype=np.float64)[: engine.nusers],
+            engine.user_index,
+            td.user_factors,
+        )
+        engine.save_factor_data(
+            np.asarray(rep[1], dtype=np.float64)[: engine.nitems],
+            engine.item_index,
+            td.item_factors,
+        )
+    if num_processes > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"qmf_task_{taskid}_saved")
+    return {
+        "taskid": taskid,
+        "process_id": process_id,
+        "num_processes": num_processes,
+        "nusers": engine.nusers,
+        "nitems": engine.nitems,
+        "global_devices": jax.device_count(),
+        "local_devices": jax.local_device_count(),
+        "wall_s": round(wall, 3),
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--task-json", required=True,
+                   help="TaskDef as a JSON object (or @/path/to/file.json)")
+    p.add_argument("--coordinator", default=None)
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=0)
+    p.add_argument("--n-local-devices", type=int, default=0,
+                   help="force N virtual CPU devices (0 = native platform)")
+    p.add_argument("--taskid", type=int, default=0)
+    p.add_argument("--result", default=None,
+                   help="write the result JSON to this path")
+    args = p.parse_args(argv)
+
+    raw = args.task_json
+    if raw.startswith("@"):
+        with open(raw[1:]) as f:
+            raw = f.read()
+    td = TaskDef.from_dict(json.loads(raw))
+    td.validate()
+
+    result = run_worker(
+        td,
+        coordinator=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+        n_local_devices=args.n_local_devices,
+        taskid=args.taskid,
+    )
+    log.info("worker done: %s", result)
+    if args.result:
+        tmp = args.result + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(result, f)
+        os.replace(tmp, args.result)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

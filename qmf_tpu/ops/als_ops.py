@@ -74,6 +74,13 @@ def _solve_lu(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.linalg.solve(a, b[..., None])[..., 0]
 
 
+def _solve_pallas(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Batched SPD solve via the fused Pallas factor+solve kernel."""
+    from qmf_tpu.ops import pallas_solve
+
+    return pallas_solve.solve_spd(a, b)
+
+
 @functools.partial(jax.jit, static_argnames=("solver",))
 def solve_bucket(
     y: jax.Array,  # (n_cols, k) fixed-side factors
@@ -86,7 +93,7 @@ def solve_bucket(
     solver: str = "cholesky",
 ) -> Tuple[jax.Array, jax.Array]:
     """Solve one padded bucket of rows. Returns (x (B,k), loss (B,))."""
-    if solver not in ("cholesky", "cholesky_xla", "lu"):
+    if solver not in ("cholesky", "cholesky_xla", "pallas", "lu"):
         raise ValueError(f"unknown solver: {solver}")
     return _solve_bucket_body(y, yty, col_idx, values, mask, alpha, lam, solver)
 
@@ -120,6 +127,8 @@ def _solve_bucket_body(
         x = _solve_spd(a, b)
     elif solver == "cholesky_xla":
         x = _solve_spd_xla(a, b)
+    elif solver == "pallas":
+        x = _solve_pallas(a, b)
     else:
         x = _solve_lu(a, b)
     # Reference loss (WALSEngine.cpp:289-304):

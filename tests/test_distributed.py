@@ -91,9 +91,13 @@ def _fake_runner(results):
 class SchedulerFixture:
     """Runs a Scheduler on an ephemeral port in a background event loop."""
 
-    def __init__(self, runner=None, heartbeat_interval=30.0):
+    def __init__(self, runner=None, heartbeat_interval=30.0, **kwargs):
         self.scheduler = Scheduler(
-            "127.0.0.1", 0, runner=runner, heartbeat_interval=heartbeat_interval
+            "127.0.0.1",
+            0,
+            runner=runner,
+            heartbeat_interval=heartbeat_interval,
+            **kwargs,
         )
         self.loop = asyncio.new_event_loop()
         self._started = threading.Event()
@@ -330,3 +334,135 @@ class TestDistributedGolden:
             np.testing.assert_allclose(
                 fa.factors, fb.factors, rtol=5e-4, atol=5e-5
             )
+
+
+class TestMultiProcessTraining:
+    def test_two_process_run_matches_single_process(self, tmp_path):
+        """VERDICT item 4: a labor receiving task_start joins the
+        jax.distributed rendezvous and co-executes the SPMD program.
+
+        Scheduler worker (process 0, 4 virtual CPU devices) + 1 labor worker
+        (process 1, 4 more) = an 8-device global mesh across 2 OS processes.
+        The f64 result must match a single-process run bit-for-bit (the
+        reference's golden technique, examples/README.md:4-13)."""
+        from qmf_tpu.cli import gen_uniform as gen_cli
+
+        rng = np.random.default_rng(5)
+        lines = [
+            f"{u} {i} {v}\n"
+            for u, i, v in zip(
+                rng.integers(1, 60, 800),
+                rng.integers(1, 40, 800),
+                rng.integers(1, 6, 800),
+            )
+        ]
+        train = tmp_path / "train.txt"
+        train.write_text("".join(lines))
+        dist = tmp_path / "uniform.dat"
+        gen_cli.main(["20000", str(dist), "--seed=3"])
+
+        task_text = (
+            "nepochs : 2\n"
+            "nfactors : 4\n"
+            'dtype : "float64"\n'
+            f'distribution_file : "{dist}"\n'
+            f'train_set : "{train}"\n'
+            "user_factors : \"%s\"\n"
+            "item_factors : \"%s\"\n"
+        )
+
+        fx = SchedulerFixture(
+            multiproc=True, n_local_devices=4, prepare_timeout=20.0
+        )
+        labor = Labor("127.0.0.1", fx.port)
+        labor_future = fx.run_coro(labor.run())
+        try:
+            import time
+
+            for _ in range(100):
+                if fx.scheduler.labors:
+                    break
+                time.sleep(0.05)
+            assert len(fx.scheduler.labors) == 1
+
+            task_file = tmp_path / "task.pb"
+            task_file.write_text(
+                task_text % (tmp_path / "mu.dat", tmp_path / "mi.dat")
+            )
+            rsp = submit_task_file("127.0.0.1", fx.port, str(task_file))
+            assert rsp["status"] == "OK"
+            for _ in range(1800):  # worker subprocesses import jax (slow)
+                status = scheduler_status("127.0.0.1", fx.port)
+                if status["history"] and status["history"][-1]["state"] in (
+                    "done",
+                    "failed",
+                ):
+                    break
+                time.sleep(0.1)
+            last = status["history"][-1]
+            assert last["state"] == "done", last
+            # it really ran as 2 processes x 4 devices
+            assert last["result"]["num_processes"] == 2
+            assert last["result"]["global_devices"] == 8
+            assert last["result"]["local_devices"] == 4
+        finally:
+            labor_future.cancel()
+            fx.close()
+
+        # single-process oracle (in-process 8-device mesh, f64)
+        from qmf_tpu.distributed.taskdef import parse_taskdef
+        from qmf_tpu.distributed.worker import run_worker
+
+        td = parse_taskdef(task_text % (tmp_path / "su.dat", tmp_path / "si.dat"))
+        run_worker(td, num_processes=1)
+
+        from qmf_tpu.data import load_factors
+
+        for a, b in (("mu.dat", "su.dat"), ("mi.dat", "si.dat")):
+            ids_a, fa = load_factors(str(tmp_path / a))
+            ids_b, fb = load_factors(str(tmp_path / b))
+            np.testing.assert_array_equal(ids_a, ids_b)
+            np.testing.assert_array_equal(fa.factors, fb.factors)
+
+    def test_quorum_miss_falls_back_to_local(self, tmp_path):
+        """No labors ready within the prepare window -> the task still runs
+        (single-process), mirroring the reference's tolerance of a shrunken
+        worker set (RunOneTask.cpp reassigns buckets rather than failing)."""
+        results = []
+        fx = SchedulerFixture(
+            runner=_fake_runner(results), multiproc=True, prepare_timeout=0.5
+        )
+        # attach a raw client that never answers task_prepare
+        import socket
+        import time
+
+        sock = socket.create_connection(("127.0.0.1", fx.port))
+        try:
+            sock.sendall(protocol.encode_frame({"kind": "attach_labor"}))
+            # read the attach ack so the frame isn't confused for a reply
+            buf = sock.recv(4096)
+            assert buf[:4] == protocol.MAGIC
+            for _ in range(100):
+                if fx.scheduler.labors:
+                    break
+                time.sleep(0.05)
+
+            task_file = tmp_path / "task.pb"
+            task_file.write_text(
+                'nepochs : 1\ntrain_set : "t.txt"\n'
+                'user_factors : "u.dat"\nitem_factors : "i.dat"\n'
+            )
+            # exercise the quorum gate directly (the runner-loop gate would
+            # route a fake-runner scheduler around multiproc entirely)
+            td = parse_taskdef(task_file.read_text())
+
+            async def go():
+                return await fx.scheduler._run_multiproc(td, taskid=99)
+
+            result = fx.run_coro(go()).result(30)
+            # fell back to the (fake) local runner
+            assert result == {"ok": True, "taskid": 99}
+            assert results == [(99, "t.txt")]
+        finally:
+            sock.close()
+            fx.close()
