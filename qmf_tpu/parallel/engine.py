@@ -43,9 +43,13 @@ class ShardedWALSEngine(WALSEngine):
         super().__init__(config, metrics_engine)
         self.mesh = mesh if mesh is not None else make_mesh(n_devices)
         self.axis_name = self.mesh.axis_names[0]
-        from qmf_tpu.parallel.sharded_wals import make_sharded_width_class_solve
+        from qmf_tpu.parallel.sharded_wals import (
+            make_sharded_train_epoch,
+            make_sharded_width_class_solve,
+        )
 
         self._solve_fn = make_sharded_width_class_solve(self.mesh, self.axis_name)
+        self._train_epoch_fn = make_sharded_train_epoch(self.mesh, self.axis_name)
 
     def init(self, dataset: Dataset) -> None:
         if self.user_factors is not None or self.item_factors is not None:
@@ -115,6 +119,31 @@ class ShardedWALSEngine(WALSEngine):
         row = NamedSharding(self.mesh, P(self.axis_name, None))
         self.user_factors = jax.device_put(self.user_factors, row)
         self.item_factors = jax.device_put(self.item_factors, row)
+
+    def _fused_epoch(self) -> float:
+        """One fused whole-epoch dispatch with explicit sharded outputs
+        (padded heights; factors stay row-sharded between epochs)."""
+        import jax.numpy as jnp
+
+        cfg = self.config
+        ub, ib = self._user_buckets, self._item_buckets
+        u_new, v_new, _, loss_v = self._train_epoch_fn(
+            self.user_factors,
+            self.item_factors,
+            ub.arrays(),
+            ib.arrays(),
+            jnp.asarray(cfg.confidence_weight, dtype=self.dtype),
+            jnp.asarray(cfg.regularization_lambda, dtype=self.dtype),
+            solver=cfg.solver,
+            precision=cfg.matmul_precision,
+            n_users=self._pad_users,
+            n_items=self._pad_items,
+            user_chunks=tuple(self._user_chunks),
+            item_chunks=tuple(self._item_chunks),
+        )
+        self.user_factors = u_new
+        self.item_factors = v_new
+        return float(loss_v) / self.nusers / self.nitems
 
     def _iterate(self, side: str) -> float:
         cfg = self.config

@@ -111,6 +111,32 @@ def make_sharded_width_class_solve(mesh: Mesh, axis_name: str = "d"):
     )
 
 
+def make_sharded_train_epoch(mesh: Mesh, axis_name: str = "d"):
+    """jit of the fused whole-epoch program with EXPLICIT output shardings.
+
+    Both factor matrices come back row-sharded over the mesh (the layout the
+    next epoch's all-gather analysis depends on); losses are replicated.
+    Inputs (width-class chunk arrays) are already row-sharded by
+    ShardedBuckets, so GSPMD partitions every solve across the mesh and the
+    fixed-side all-gather + Gramian psum are inserted automatically.
+    """
+    row = NamedSharding(mesh, P(axis_name, None))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        als_ops.train_epoch_impl,
+        static_argnames=(
+            "solver",
+            "precision",
+            "n_users",
+            "n_items",
+            "user_chunks",
+            "item_chunks",
+        ),
+        donate_argnums=(0, 1),
+        out_shardings=(row, row, rep, rep),
+    )
+
+
 def pad_rows(n: int, mesh: Mesh) -> int:
     """Smallest mesh-divisible height >= n."""
     return n + ((-n) % mesh.size)
