@@ -214,6 +214,61 @@ class WALSEngine(Engine):
         self.item_factors = v_new
         return float(loss_v) / self.nusers / self.nitems
 
+    def _fused_run(self, nepochs: int) -> List[float]:
+        """ALL remaining epochs as ONE device program (als_ops.train_epochs).
+
+        Used when nothing needs the host between epochs (no always-compute
+        metrics, no checkpointing): removes the per-epoch dispatch + sync
+        round-trips that dominate small datasets through high-latency
+        runtimes. Returns the per-epoch train losses (reference-normalized).
+        """
+        cfg = self.config
+        ub, ib = self._user_buckets, self._item_buckets
+        u_arrays = [
+            (ub.row_ids[i], ub.col_idx[i], ub.values[i], ub.mask[i])
+            for i in range(len(ub))
+        ]
+        i_arrays = [
+            (ib.row_ids[i], ib.col_idx[i], ib.values[i], ib.mask[i])
+            for i in range(len(ib))
+        ]
+        u_new, v_new, losses = als_ops.train_epochs(
+            self.user_factors,
+            self.item_factors,
+            u_arrays,
+            i_arrays,
+            jnp.asarray(cfg.confidence_weight, dtype=self.dtype),
+            jnp.asarray(cfg.regularization_lambda, dtype=self.dtype),
+            solver=cfg.solver,
+            precision=cfg.matmul_precision,
+            n_users=self.nusers,
+            n_items=self.nitems,
+            user_chunks=tuple(self._user_chunks),
+            item_chunks=tuple(self._item_chunks),
+            nepochs=nepochs,
+        )
+        self.user_factors = u_new
+        self.item_factors = v_new
+        return [
+            float(l) / self.nusers / self.nitems for l in np.asarray(losses)
+        ]
+
+    def _can_fuse_run(self) -> bool:
+        """True when no per-epoch host work is required between epochs."""
+        me = self.metrics_engine
+        per_epoch_eval = (
+            me is not None
+            and me.test_avg_metrics
+            and self.test_users is not None
+            and len(self.test_users)
+            and me.config.always_compute
+        )
+        return (
+            self.config.fuse_epoch
+            and not per_epoch_eval
+            and not getattr(self, "_ckpt_dir", None)
+        )
+
     def enable_checkpointing(self, directory: str, every: int = 1) -> None:
         """Per-epoch checkpoint + auto-resume (see qmf_tpu/utils/checkpoint).
 
@@ -266,7 +321,24 @@ class WALSEngine(Engine):
         from qmf_tpu.utils.tracing import annotate
 
         start_epoch = self._maybe_resume()
-        for epoch in range(start_epoch, self.config.nepochs + 1):
+        nepochs = self.config.nepochs
+        if start_epoch <= nepochs and self._can_fuse_run():
+            # whole run in one program; log per-epoch losses afterwards with
+            # the same record format
+            t0 = time.time()
+            with annotate("wals_run"):
+                losses = self._fused_run(nepochs - start_epoch + 1)
+            elapsed = time.time() - t0
+            for i, loss in enumerate(losses):
+                log.info(
+                    "epoch %d: train loss = %.10g (%.3fs)",
+                    start_epoch + i,
+                    loss,
+                    elapsed / len(losses),
+                )
+            self.evaluate(nepochs)
+            return
+        for epoch in range(start_epoch, nepochs + 1):
             t0 = time.time()
             with annotate(f"wals_epoch_{epoch}"):
                 if self.config.fuse_epoch:

@@ -271,6 +271,65 @@ train_epoch = functools.partial(
 )(train_epoch_impl)
 
 
+def train_epochs_impl(
+    user_factors: jax.Array,  # (U, k) — donated
+    item_factors: jax.Array,  # (I, k) — donated
+    user_arrays,
+    item_arrays,
+    alpha: jax.Array,
+    lam: jax.Array,
+    solver: str,
+    precision: str,
+    n_users: int,
+    n_items: int,
+    user_chunks: Tuple[int, ...],
+    item_chunks: Tuple[int, ...],
+    nepochs: int,
+):
+    """The WHOLE training run (``nepochs`` full epochs) as ONE device program.
+
+    A ``lax.scan`` over epochs around :func:`train_epoch_impl`'s body: when no
+    per-epoch host work is requested (no always-compute metrics, no
+    checkpointing) there is nothing an epoch boundary needs the host for, so
+    the per-epoch dispatch + sync round-trips can be removed entirely. This is
+    what makes small datasets (ml100k-scale) fast through high-latency
+    runtimes: one dispatch per RUN instead of one per epoch.
+
+    Returns (u_final, v_final, loss_v_per_epoch (nepochs,)) — the same
+    item-side losses the reference logs each epoch (WALSEngine.cpp:82-96).
+    """
+    def body(carry, _):
+        _, v = carry
+        u_new, _ = _solve_side(
+            v, user_arrays, user_chunks, n_users, alpha, lam, solver, precision
+        )
+        v_new, loss_v = _solve_side(
+            u_new, item_arrays, item_chunks, n_items, alpha, lam, solver,
+            precision,
+        )
+        return (u_new, v_new), loss_v
+
+    (u_final, v_final), losses = jax.lax.scan(
+        body, (user_factors, item_factors), None, length=nepochs
+    )
+    return u_final, v_final, losses
+
+
+train_epochs = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "solver",
+        "precision",
+        "n_users",
+        "n_items",
+        "user_chunks",
+        "item_chunks",
+        "nepochs",
+    ),
+    donate_argnums=(0, 1),
+)(train_epochs_impl)
+
+
 def width_class_solve_impl(
     y: jax.Array,  # (n_cols, k) fixed factors
     yty: jax.Array,  # (k, k)

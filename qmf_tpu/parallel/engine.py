@@ -115,6 +115,12 @@ class ShardedWALSEngine(WALSEngine):
             jnp.zeros((self._pad_users, cfg.nfactors), dtype=self.dtype), row
         )
 
+    def _can_fuse_run(self) -> bool:
+        # the multi-epoch single-program path has no explicit shardings yet;
+        # the sharded engine keeps its per-epoch fused program (explicit
+        # out_shardings, factors row-sharded between epochs)
+        return False
+
     def _place_factors(self) -> None:
         row = NamedSharding(self.mesh, P(self.axis_name, None))
         self.user_factors = jax.device_put(self.user_factors, row)

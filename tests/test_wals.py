@@ -314,6 +314,44 @@ class TestFusedEpoch:
         )
 
 
+    def test_fused_run_matches_per_epoch_fused(self):
+        """The whole-run scan program (als_ops.train_epochs) must equal
+        stepping _fused_epoch once per epoch — same factors, same losses."""
+        rng = np.random.default_rng(17)
+        n_u, n_i = 35, 19
+        users = rng.integers(0, n_u, 300) + 1
+        items = rng.integers(0, n_i, 300) + 1
+        ds = Dataset(users, items, rng.integers(1, 6, 300).astype(float))
+        cfg = dict(nepochs=3, nfactors=4, init_seed=5, dtype="float64")
+
+        run = WALSEngine(WALSConfig(**cfg, fuse_epoch=True))
+        run.init(ds)
+        assert run._can_fuse_run()
+        losses_run = run._fused_run(3)
+
+        per = WALSEngine(WALSConfig(**cfg, fuse_epoch=True))
+        per.init(ds)
+        losses_per = [per._fused_epoch() for _ in range(3)]
+
+        np.testing.assert_allclose(losses_run, losses_per, rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(run.user_factors),
+            np.asarray(per.user_factors),
+            rtol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(run.item_factors),
+            np.asarray(per.item_factors),
+            rtol=1e-12,
+        )
+
+    def test_fused_run_gated_off_by_per_epoch_work(self):
+        """Per-epoch eval/checkpointing must fall back to per-epoch mode."""
+        eng = WALSEngine(WALSConfig(nepochs=2, nfactors=4))
+        eng.enable_checkpointing("/tmp/qmf_nonexistent_gate_test")
+        assert not eng._can_fuse_run()
+
+
 class TestNegativeValues:
     def test_lu_solver_handles_negative_ratings(self):
         """The reference's dsysv_ tolerates indefinite systems from negative
