@@ -154,6 +154,26 @@ def main() -> None:
     epoch_s = float(np.median(times))
     print(f"# steady epochs: {[f'{t:.3f}' for t in times]}", file=sys.stderr)
 
+    # MFU estimate: epoch FLOPs = per-side A-build (2*padded_nnz*k^2) +
+    # b-build (2*padded_nnz*k) + Cholesky solves ((U+I) * (k^3/3 + 2k^2))
+    padded = sum(
+        b.size for bk in (engine._user_buckets, engine._item_buckets)
+        for b in bk.col_idx
+    )
+    k = NFACTORS
+    n_rows = engine.nusers + engine.nitems
+    flops = 2 * padded * k * k + 2 * padded * k + n_rows * (
+        k**3 / 3 + 2 * k * k
+    )
+    eff_tflops = flops / epoch_s / 1e12
+    peak_bf16 = 394.0  # v5e MXU peak (bf16)
+    print(
+        f"# est. epoch FLOPs {flops/1e9:.1f} GF, effective "
+        f"{eff_tflops:.2f} TFLOP/s, MFU {eff_tflops/peak_bf16*100:.2f}% "
+        f"of bf16 peak",
+        file=sys.stderr,
+    )
+
     baseline = _get_baseline(train_path)
     base_s = baseline.get("ref_epoch_16core_extrapolated_s")
     vs = (base_s / epoch_s) if base_s else None

@@ -1,0 +1,71 @@
+"""BPR throughput benchmark: ml20m k=30, 3 negatives (BASELINE.json config).
+
+Usage: python -u benchmarks/bpr_bench.py [batch_size ...]
+Reports triplet updates/sec per epoch against the reference Hogwild target
+(~9.8M updates/s = measured single-core 0.61M x perfect 16-thread scaling;
+see benchmarks/README.md).
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "benchmarks")
+from qmf_tpu.cli.common import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+import jax  # noqa: E402
+
+import datagen  # noqa: E402
+from qmf_tpu.config import BPRConfig  # noqa: E402
+from qmf_tpu.data.dataset import Dataset  # noqa: E402
+from qmf_tpu.models.bpr import BPREngine  # noqa: E402
+
+REF_UPDATES_PER_S = 9.8e6  # 16-thread-extrapolated reference Hogwild
+
+
+def main():
+    batches = [int(s) for s in sys.argv[1:]] or [32768]
+    users, items, values = datagen.load_npz("ml20m")
+    ds = Dataset(users, items, values)
+    for bs in batches:
+        cfg = BPRConfig(
+            nepochs=1,
+            nfactors=30,
+            num_negative_samples=3,
+            batch_size=bs,
+            neg_resample_rounds=1,
+            init_seed=0,
+        )
+        eng = BPREngine(cfg)
+        t0 = time.time()
+        eng.init(ds)
+        print(f"bs={bs}: init {time.time()-t0:.1f}s", flush=True)
+        n_updates = int(eng._tri_users.shape[0])
+
+        t0 = time.time()
+        eng._epoch()
+        jax.block_until_ready(eng.params.user_factors)
+        print(f"bs={bs}: warmup epoch (incl compile) {time.time()-t0:.1f}s",
+              flush=True)
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            eng._epoch()
+            jax.block_until_ready(eng.params.user_factors)
+            times.append(time.time() - t0)
+        ep = float(np.median(times))
+        ups = n_updates / ep
+        print(
+            f"bs={bs}: epoch {ep:.2f}s, {ups/1e6:.2f}M updates/s "
+            f"(vs ref 16-thread {REF_UPDATES_PER_S/1e6:.1f}M -> "
+            f"{ups/REF_UPDATES_PER_S:.2f}x)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -10,6 +10,7 @@ qmf/bpr/BPREngine.cpp:146-220). Variants:
   merged    pos+neg item scatters merged into one 2B-row scatter
   fused     user+item factors in ONE (U+I, k) array -> single 3B-row scatter
   b32768    base at batch 32768 (vs default 8192)
+  unrolled  base with the statically-unrolled membership search
 """
 
 import sys
@@ -73,12 +74,13 @@ def run_variant(name):
     lam = jnp.float32(0.01)
     lr = jnp.float32(0.05)
 
-    if name in ("base", "b32768"):
+    if name in ("base", "b32768", "unrolled"):
         def step(p, key, u, i, wt):
             return bpr_ops._sgd_step_body(
                 p, key, u, i, wt, pos_set.indptr, pos_set.items,
                 lr, lam, lam, lam, n_items=I, use_biases=False,
                 neg_rounds=NEG_ROUNDS, max_degree=pos_set.max_degree,
+                unroll=(name == "unrolled"),
             )
         args = (bu, bi, w)
     elif name == "nosample":
@@ -155,7 +157,9 @@ def run_variant(name):
 
 
 def main():
-    variants = sys.argv[1:] or ["base", "nosample", "merged", "fused", "b32768"]
+    variants = sys.argv[1:] or [
+        "base", "nosample", "merged", "fused", "b32768", "unrolled"
+    ]
     for name in variants:
         dt, batch = run_variant(name)
         per_step = dt / STEPS

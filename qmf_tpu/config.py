@@ -50,10 +50,22 @@ class WALSConfig:
     # dispatch + one host sync per epoch. Disable to dispatch per width
     # class (useful for debugging or compile-memory-constrained targets).
     fuse_epoch: bool = True
+    # Solve granularity inside the fused epoch: True stacks each width
+    # class's normal equations from a chunked build scan and runs ONE wide
+    # batched Cholesky per class (the solve's serial dependency chain is
+    # latency-bound, so wider batches are ~2x faster at ML-20M scale);
+    # False solves inside every scan step (lower peak memory).
+    class_solve: bool = True
     # Random seed for item-factor init when distribution_file is empty.
     # The reference draws from std::random_device (non-deterministic,
     # WALSEngine.cpp:58-62); we default to a fixed seed for reproducibility.
     init_seed: int = 0
+    # Build the degree-class arrays on device (ops/device_pack.py): transfer
+    # the raw 12-byte/rating COO once and sort + pad on the accelerator,
+    # instead of building ~2x larger padded arrays in host numpy and
+    # transferring those. "auto" enables it for float32 runs on non-CPU
+    # backends; True/False force it.
+    device_pack: bool | str = "auto"
 
 
 @dataclasses.dataclass
@@ -86,6 +98,10 @@ class BPRConfig:
     # Rounds of negative re-sampling for candidates that collide with the
     # user's positive set (reference rejection loop BPREngine-inl.h:48-60).
     neg_resample_rounds: int = 4
+    # Statically unroll the membership binary search instead of running it
+    # as a fori_loop (faster; opt-in while a historical TPU-runtime crash
+    # with the unrolled form is being re-validated).
+    unroll_membership: bool = False
     init_seed: int = 0
 
 

@@ -217,6 +217,7 @@ class BPREngine(Engine):
             neg_rounds=cfg.neg_resample_rounds,
             shuffle=cfg.shuffle_training_set,
             batch_size=min(cfg.batch_size, self._tri_users.shape[0]),
+            unroll=cfg.unroll_membership,
         )
 
     def enable_checkpointing(self, directory: str, every: int = 1) -> None:

@@ -97,6 +97,17 @@ class WALSEngine(Engine):
     def nitems(self) -> int:
         return self.item_index.size if self.item_index else 0
 
+    def _use_device_pack(self) -> bool:
+        """Resolve the device_pack="auto" knob: on for f32 accelerator runs
+        (where the COO transfer + on-device sort beats shipping padded
+        arrays); off on CPU (no transfer to save) and for f64 golden runs."""
+        dp = self.config.device_pack
+        if dp == "auto":
+            return (
+                self.dtype == jnp.float32 and jax.default_backend() != "cpu"
+            )
+        return bool(dp)
+
     # --- lifecycle -----------------------------------------------------------
     def init(self, dataset: Dataset) -> None:
         if self.user_factors is not None or self.item_factors is not None:
@@ -108,23 +119,63 @@ class WALSEngine(Engine):
         cols = self.item_index.lookup(dataset.item_ids)
 
         t0 = time.time()
-        user_classes = pack_width_classes(
-            rows, cols, dataset.values, self.nusers, cfg.batch_rows
-        )
-        item_classes = pack_width_classes(
-            cols, rows, dataset.values, self.nitems, cfg.batch_rows
-        )
-        log.info(
-            "packed %d ratings: users %s, items %s (%.2fs)",
-            len(dataset),
-            packed_stats(user_classes),
-            packed_stats(item_classes),
-            time.time() - t0,
-        )
-        self._user_buckets = DeviceBuckets.from_host(user_classes, self.dtype)
-        self._item_buckets = DeviceBuckets.from_host(item_classes, self.dtype)
-        self._user_chunks = chunks_for_classes(user_classes, cfg.batch_rows)
-        self._item_chunks = chunks_for_classes(item_classes, cfg.batch_rows)
+        if self._use_device_pack():
+            from qmf_tpu.ops import device_pack
+
+            rows32 = jnp.asarray(rows.astype(np.int32))
+            cols32 = jnp.asarray(cols.astype(np.int32))
+            vals_d = jnp.asarray(dataset.values, dtype=self.dtype)
+            deg_u = np.bincount(rows, minlength=self.nusers)
+            deg_i = np.bincount(cols, minlength=self.nitems)
+            u_arrays, u_plans = device_pack.pack_width_classes_device(
+                rows32, cols32, vals_d, self.nusers, deg_u, cfg.batch_rows
+            )
+            i_arrays, i_plans = device_pack.pack_width_classes_device(
+                cols32, rows32, vals_d, self.nitems, deg_i, cfg.batch_rows
+            )
+            self._user_buckets = DeviceBuckets(
+                row_ids=[a[0] for a in u_arrays],
+                col_idx=[a[1] for a in u_arrays],
+                values=[a[2] for a in u_arrays],
+                mask=[a[3] for a in u_arrays],
+            )
+            self._item_buckets = DeviceBuckets(
+                row_ids=[a[0] for a in i_arrays],
+                col_idx=[a[1] for a in i_arrays],
+                values=[a[2] for a in i_arrays],
+                mask=[a[3] for a in i_arrays],
+            )
+            self._user_chunks = [p.chunk_b for p in u_plans]
+            self._item_chunks = [p.chunk_b for p in i_plans]
+            log.info(
+                "device-packed %d ratings: users %s, items %s (%.2fs)",
+                len(dataset),
+                device_pack.plan_stats(u_plans, len(dataset)),
+                device_pack.plan_stats(i_plans, len(dataset)),
+                time.time() - t0,
+            )
+        else:
+            user_classes = pack_width_classes(
+                rows, cols, dataset.values, self.nusers, cfg.batch_rows
+            )
+            item_classes = pack_width_classes(
+                cols, rows, dataset.values, self.nitems, cfg.batch_rows
+            )
+            log.info(
+                "packed %d ratings: users %s, items %s (%.2fs)",
+                len(dataset),
+                packed_stats(user_classes),
+                packed_stats(item_classes),
+                time.time() - t0,
+            )
+            self._user_buckets = DeviceBuckets.from_host(
+                user_classes, self.dtype
+            )
+            self._item_buckets = DeviceBuckets.from_host(
+                item_classes, self.dtype
+            )
+            self._user_chunks = chunks_for_classes(user_classes, cfg.batch_rows)
+            self._item_chunks = chunks_for_classes(item_classes, cfg.batch_rows)
 
         # item factors init: uniform or deterministic file; user factors zero
         # (overwritten in the first user half-epoch) — WALSEngine.cpp:55-68.
@@ -209,6 +260,7 @@ class WALSEngine(Engine):
             n_items=self.nitems,
             user_chunks=tuple(self._user_chunks),
             item_chunks=tuple(self._item_chunks),
+            class_solve=cfg.class_solve,
         )
         self.user_factors = u_new
         self.item_factors = v_new
@@ -246,6 +298,7 @@ class WALSEngine(Engine):
             user_chunks=tuple(self._user_chunks),
             item_chunks=tuple(self._item_chunks),
             nepochs=nepochs,
+            class_solve=cfg.class_solve,
         )
         self.user_factors = u_new
         self.item_factors = v_new

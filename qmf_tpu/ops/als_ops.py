@@ -108,10 +108,9 @@ _PRECISION_BY_NAME = {
 }
 
 
-def _solve_bucket_body(
-    y, yty, col_idx, values, mask, alpha, lam, solver, precision="highest"
-):
-    """Untraced body of solve_bucket (shared by the fused half-epoch)."""
+def _build_bucket(y, yty, col_idx, values, mask, alpha, lam, precision):
+    """Normal-equation build for one padded bucket: (A (B,k,k), b (B,k),
+    conf_sum (B,)) — the gather + MXU einsum stage, no solve."""
     prec = _PRECISION_BY_NAME.get(precision, jax.lax.Precision.HIGHEST)
     dtype = y.dtype
     yg = y[col_idx]
@@ -119,29 +118,51 @@ def _solve_bucket_body(
     w = alpha * values * maskf
     conf = maskf + w
     b = jnp.einsum("bd,bdk->bk", conf, yg, precision=prec)
-    a0 = yty[None] + jnp.einsum(
-        "bdk,bd,bdl->bkl", yg, w, yg, precision=prec
+    a = (
+        yty[None]
+        + jnp.einsum("bdk,bd,bdl->bkl", yg, w, yg, precision=prec)
+        + lam * jnp.eye(yty.shape[0], dtype=dtype)
     )
-    a = a0 + lam * jnp.eye(yty.shape[0], dtype=dtype)
+    return a, b, jnp.sum(conf, axis=1)
+
+
+def _solve_dispatch(a, b, solver):
     if solver == "cholesky":
-        x = _solve_spd(a, b)
-    elif solver == "cholesky_xla":
-        x = _solve_spd_xla(a, b)
-    elif solver == "pallas":
-        x = _solve_pallas(a, b)
-    else:
-        x = _solve_lu(a, b)
+        return _solve_spd(a, b)
+    if solver == "cholesky_xla":
+        return _solve_spd_xla(a, b)
+    if solver == "pallas":
+        return _solve_pallas(a, b)
+    if solver == "identity":
+        # DEBUG-ONLY: x = b + A[:,0] (keeps A alive, skips the solve).
+        # Exists so stage-decomposition benchmarks can isolate solve cost
+        # (benchmarks/wals_micro.py); never a correct training config.
+        return b + a[:, 0, :]
+    return _solve_lu(a, b)
+
+
+def _loss_from_solution(x, b, conf_sum, lam):
     # Reference loss (WALSEngine.cpp:289-304):
     #   loss = sum(conf) - 2 x.b + x^T A0 x
     # Since A x = b exactly at the solution, x^T A0 x = x.b - lam |x|^2, so
     #   loss = sum(conf) - x.b - lam |x|^2
     # — same value, without the O(B k^2) quadratic-form einsum.
-    loss = (
-        jnp.sum(conf, axis=1)
+    return (
+        conf_sum
         - jnp.einsum("bk,bk->b", x, b, precision=_PRECISION)
         - lam * jnp.sum(x * x, axis=1)
     )
-    return x, loss
+
+
+def _solve_bucket_body(
+    y, yty, col_idx, values, mask, alpha, lam, solver, precision="highest"
+):
+    """Untraced body of solve_bucket (shared by the fused half-epoch)."""
+    a, b, conf_sum = _build_bucket(
+        y, yty, col_idx, values, mask, alpha, lam, precision
+    )
+    x = _solve_dispatch(a, b, solver)
+    return x, _loss_from_solution(x, b, conf_sum, lam)
 
 
 def half_epoch_impl(
@@ -206,19 +227,59 @@ def _scan_class(y, yty, row_ids, col_idx, values, mask, alpha, lam, x_out,
     return x_out, loss
 
 
+def _scan_class_build(y, yty, col_idx, values, mask, alpha, lam, chunk_b,
+                      precision):
+    """Scan one width class's chunks through the BUILD stage only, stacking
+    the per-row normal equations: returns (A (N,k,k), b (N,k), conf (N,))."""
+    n_chunks = col_idx.shape[0] // chunk_b
+    d = col_idx.shape[1]
+    col_c = col_idx.reshape(n_chunks, chunk_b, d)
+    val_c = values.reshape(n_chunks, chunk_b, d)
+    mask_c = mask.reshape(n_chunks, chunk_b, d)
+
+    def body(_, inp):
+        col, val, m = inp
+        return None, _build_bucket(y, yty, col, val, m, alpha, lam, precision)
+
+    _, (a_s, b_s, conf_s) = jax.lax.scan(body, None, (col_c, val_c, mask_c))
+    k = y.shape[1]
+    return (
+        a_s.reshape(-1, k, k),
+        b_s.reshape(-1, k),
+        conf_s.reshape(-1),
+    )
+
+
 def _solve_side(y, class_arrays, chunk_sizes, n_rows, alpha, lam, solver,
-                precision):
-    """All width classes of one side inside a single trace."""
+                precision, class_solve=True):
+    """All width classes of one side inside a single trace.
+
+    class_solve=True (default) runs the three stages at class granularity:
+    a chunked BUILD scan (bounds gather/einsum working-set size), then ONE
+    wide batched factor+solve over the whole class, then one scatter. The
+    solve's ~3k-op serial dependency chain executes once per class on
+    maximal-width vectors instead of once per scan step on narrow ones —
+    the chain is latency-bound, so this is ~2x on the fused ml20m epoch
+    (measured: benchmarks/wals_micro.py, chunk_sweep.py).
+    """
     yty = gramian(y)
     x_out = jnp.zeros((n_rows, y.shape[1]), dtype=y.dtype)
     loss = jnp.zeros((), dtype=y.dtype)
     for (row_ids, col_idx, values, mask), chunk_b in zip(
         class_arrays, chunk_sizes
     ):
-        x_out, loss = _scan_class(
-            y, yty, row_ids, col_idx, values, mask, alpha, lam, x_out, loss,
-            solver, chunk_b, precision,
-        )
+        if class_solve:
+            a, b, conf_sum = _scan_class_build(
+                y, yty, col_idx, values, mask, alpha, lam, chunk_b, precision
+            )
+            x = _solve_dispatch(a, b, solver)
+            loss = loss + jnp.sum(_loss_from_solution(x, b, conf_sum, lam))
+            x_out = x_out.at[row_ids].set(x, mode="drop")
+        else:
+            x_out, loss = _scan_class(
+                y, yty, row_ids, col_idx, values, mask, alpha, lam, x_out,
+                loss, solver, chunk_b, precision,
+            )
     return x_out, loss
 
 
@@ -235,6 +296,7 @@ def train_epoch_impl(
     n_items: int,
     user_chunks: Tuple[int, ...],
     item_chunks: Tuple[int, ...],
+    class_solve: bool = True,
 ):
     """One FULL WALS epoch (both half-epochs) as a single device program.
 
@@ -248,11 +310,11 @@ def train_epoch_impl(
     del user_factors  # recomputed from scratch each epoch (reference zeroes)
     u_new, loss_u = _solve_side(
         item_factors, user_arrays, user_chunks, n_users, alpha, lam, solver,
-        precision,
+        precision, class_solve,
     )
     v_new, loss_v = _solve_side(
         u_new, item_arrays, item_chunks, n_items, alpha, lam, solver,
-        precision,
+        precision, class_solve,
     )
     return u_new, v_new, loss_u, loss_v
 
@@ -266,6 +328,7 @@ train_epoch = functools.partial(
         "n_items",
         "user_chunks",
         "item_chunks",
+        "class_solve",
     ),
     donate_argnums=(0, 1),
 )(train_epoch_impl)
@@ -285,6 +348,7 @@ def train_epochs_impl(
     user_chunks: Tuple[int, ...],
     item_chunks: Tuple[int, ...],
     nepochs: int,
+    class_solve: bool = True,
 ):
     """The WHOLE training run (``nepochs`` full epochs) as ONE device program.
 
@@ -301,11 +365,12 @@ def train_epochs_impl(
     def body(carry, _):
         _, v = carry
         u_new, _ = _solve_side(
-            v, user_arrays, user_chunks, n_users, alpha, lam, solver, precision
+            v, user_arrays, user_chunks, n_users, alpha, lam, solver,
+            precision, class_solve,
         )
         v_new, loss_v = _solve_side(
             u_new, item_arrays, item_chunks, n_items, alpha, lam, solver,
-            precision,
+            precision, class_solve,
         )
         return (u_new, v_new), loss_v
 
@@ -325,6 +390,7 @@ train_epochs = functools.partial(
         "user_chunks",
         "item_chunks",
         "nepochs",
+        "class_solve",
     ),
     donate_argnums=(0, 1),
 )(train_epochs_impl)

@@ -77,7 +77,9 @@ def make_pos_set(
     )
 
 
-def _is_member(pos_set: PosSet, users: jax.Array, cand: jax.Array) -> jax.Array:
+def _is_member(
+    pos_set: PosSet, users: jax.Array, cand: jax.Array, unroll: bool = False
+) -> jax.Array:
     """Vectorized per-user binary search: is cand[b] in users[b]'s set?"""
     lo = pos_set.indptr[users]  # (B,)
     hi = pos_set.indptr[users + 1]
@@ -86,9 +88,6 @@ def _is_member(pos_set: PosSet, users: jax.Array, cand: jax.Array) -> jax.Array:
     if items.shape[0] == 0:
         return jnp.zeros(users.shape, dtype=bool)
 
-    # NOTE: a statically-unrolled version of this search (fusing the gather
-    # chain into the surrounding scan body) reliably crashed the TPU runtime
-    # at MovieLens-20M scale; the fori_loop form is slower but stable.
     def body(_, lohi):
         lo, hi = lohi
         mid = (lo + hi) // 2
@@ -98,13 +97,23 @@ def _is_member(pos_set: PosSet, users: jax.Array, cand: jax.Array) -> jax.Array:
         hi = jnp.where(go_right | (lo >= hi), hi, mid)
         return lo, hi
 
-    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    if unroll:
+        # statically-unrolled search: straight-line gather chain, no While
+        # overhead per probe (historically crashed one TPU runtime build at
+        # ML-20M scale inside a fused epoch scan — kept opt-in until the
+        # crash is reproduced; see BPRConfig.unroll_membership)
+        lohi = (lo, hi)
+        for s in range(steps):
+            lohi = body(s, lohi)
+        lo, hi = lohi
+    else:
+        lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
     found = items[jnp.minimum(lo, items.shape[0] - 1)] == cand
     return found & (lo < pos_set.indptr[users + 1])
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_items", "rounds", "max_degree")
+    jax.jit, static_argnames=("n_items", "rounds", "max_degree", "unroll")
 )
 def _sample_negatives_impl(
     key: jax.Array,
@@ -114,6 +123,7 @@ def _sample_negatives_impl(
     n_items: int,
     rounds: int,
     max_degree: int,
+    unroll: bool = False,
 ) -> jax.Array:
     pos_set = PosSet(indptr, pos_items, max_degree)
     b = users.shape[0]
@@ -122,7 +132,7 @@ def _sample_negatives_impl(
     for r in range(rounds):
         key, sub = jax.random.split(key)
         cand = jax.random.randint(sub, (b,), 0, n_items, dtype=jnp.int32)
-        cand_ok = ~_is_member(pos_set, users, cand)
+        cand_ok = ~_is_member(pos_set, users, cand, unroll=unroll)
         take = (~valid) & cand_ok
         neg = jnp.where(take, cand, neg)
         # after the final round, fall back to the last candidate if invalid
@@ -138,6 +148,7 @@ def sample_negatives(
     pos_set: PosSet,
     n_items: int,
     rounds: int = 4,
+    unroll: bool = False,
 ) -> jax.Array:
     """Sample one negative item per row, rejecting the user's positives.
 
@@ -153,6 +164,7 @@ def sample_negatives(
         n_items=n_items,
         rounds=rounds,
         max_degree=pos_set.max_degree,
+        unroll=unroll,
     )
 
 
@@ -188,6 +200,7 @@ def _sgd_step_body(
     use_biases: bool,
     neg_rounds: int,
     max_degree: int,
+    unroll: bool = False,
 ) -> BPRParams:
     """One synchronous minibatch update (reference update(), vectorized)."""
     neg = _sample_negatives_impl(
@@ -198,6 +211,7 @@ def _sgd_step_body(
         n_items=n_items,
         rounds=neg_rounds,
         max_degree=max_degree,
+        unroll=unroll,
     )
     d, pu, qi, qj = _score_diff(params, users, pos_items, neg, use_biases)
     e = (1.0 / (1.0 + jnp.exp(d))) * weight  # masked loss derivative
@@ -206,17 +220,21 @@ def _sgd_step_body(
     uf = params.user_factors.at[users].add(
         lr * (e[:, None] * (qi - qj) - user_lambda * pu * wcol)
     )
-    itf = params.item_factors.at[pos_items].add(
-        lr * (e[:, None] * pu - item_lambda * qi * wcol)
+    # one 2B-row scatter instead of two sequential B-row scatters (additive,
+    # so merging is exact up to summation order of duplicate indices)
+    epu = e[:, None] * pu
+    item_idx = jnp.concatenate([pos_items, neg])
+    item_grad = jnp.concatenate(
+        [epu - item_lambda * qi * wcol, -epu - item_lambda * qj * wcol]
     )
-    itf = itf.at[neg].add(lr * (-e[:, None] * pu - item_lambda * qj * wcol))
+    itf = params.item_factors.at[item_idx].add(lr * item_grad)
     if use_biases:
         bi = params.item_biases[pos_items]
         bj = params.item_biases[neg]
-        ib = params.item_biases.at[pos_items].add(
-            lr * (e - bias_lambda * bi * weight)
+        bias_grad = jnp.concatenate(
+            [e - bias_lambda * bi * weight, -e - bias_lambda * bj * weight]
         )
-        ib = ib.at[neg].add(lr * (-e - bias_lambda * bj * weight))
+        ib = params.item_biases.at[item_idx].add(lr * bias_grad)
     else:
         ib = params.item_biases
     return BPRParams(uf, itf, ib)
@@ -224,7 +242,9 @@ def _sgd_step_body(
 
 _sgd_step_impl = functools.partial(
     jax.jit,
-    static_argnames=("n_items", "use_biases", "neg_rounds", "max_degree"),
+    static_argnames=(
+        "n_items", "use_biases", "neg_rounds", "max_degree", "unroll"
+    ),
     donate_argnums=(0,),
 )(_sgd_step_body)
 
@@ -272,6 +292,7 @@ def sgd_step(
         "max_degree",
         "shuffle",
         "batch_size",
+        "unroll",
     ),
     donate_argnums=(0,),
 )
@@ -293,6 +314,7 @@ def _sgd_epoch_impl(
     max_degree: int,
     shuffle: bool,
     batch_size: int,
+    unroll: bool = False,
 ) -> BPRParams:
     """A FULL training epoch as one device program.
 
@@ -339,6 +361,7 @@ def _sgd_epoch_impl(
             use_biases=use_biases,
             neg_rounds=neg_rounds,
             max_degree=max_degree,
+            unroll=unroll,
         )
         return (params, key), None
 
@@ -362,6 +385,7 @@ def sgd_epoch(
     neg_rounds: int,
     shuffle: bool,
     batch_size: int,
+    unroll: bool = False,
 ) -> BPRParams:
     return _sgd_epoch_impl(
         params,
@@ -381,6 +405,7 @@ def sgd_epoch(
         max_degree=pos_set.max_degree,
         shuffle=shuffle,
         batch_size=batch_size,
+        unroll=unroll,
     )
 
 

@@ -81,6 +81,20 @@ class TestNegativeSampling:
         )
         np.testing.assert_array_equal(got, want)
 
+    def test_membership_unrolled_matches_fori_loop(self):
+        rng = np.random.default_rng(11)
+        n_users, n_items = 40, 500
+        users = rng.integers(0, n_users, 600).astype(np.int32)
+        items = rng.integers(0, n_items, 600).astype(np.int32)
+        pos_set = bpr_ops.make_pos_set(users, items, n_users)
+        q_users = jnp.asarray(rng.integers(0, n_users, 256).astype(np.int32))
+        q_items = jnp.asarray(rng.integers(0, n_items, 256).astype(np.int32))
+        looped = np.asarray(bpr_ops._is_member(pos_set, q_users, q_items))
+        unrolled = np.asarray(
+            bpr_ops._is_member(pos_set, q_users, q_items, unroll=True)
+        )
+        np.testing.assert_array_equal(looped, unrolled)
+
     def test_membership_beyond_int32_key_range(self):
         # user*n_items+item would overflow int32; CSR search must not care
         n_users, n_items = 3, 2_000_000_000
