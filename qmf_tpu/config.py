@@ -56,6 +56,11 @@ class WALSConfig:
     # latency-bound, so wider batches are ~2x faster at ML-20M scale);
     # False solves inside every scan step (lower peak memory).
     class_solve: bool = True
+    # Degree-class padding grid: "pow2" pads each row's signal list to the
+    # next power of two (fill ~0.70 on MovieLens-20M); "pow2_15" adds the
+    # 1.5x points (8,12,16,24,32,48,...) — fill ~0.83, i.e. ~16% less padded
+    # build work, at ~2x the compiled width-class shapes.
+    width_grid: str = "pow2_15"
     # Random seed for item-factor init when distribution_file is empty.
     # The reference draws from std::random_device (non-deterministic,
     # WALSEngine.cpp:58-62); we default to a fixed seed for reproducibility.

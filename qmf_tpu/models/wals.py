@@ -128,10 +128,12 @@ class WALSEngine(Engine):
             deg_u = np.bincount(rows, minlength=self.nusers)
             deg_i = np.bincount(cols, minlength=self.nitems)
             u_arrays, u_plans = device_pack.pack_width_classes_device(
-                rows32, cols32, vals_d, self.nusers, deg_u, cfg.batch_rows
+                rows32, cols32, vals_d, self.nusers, deg_u, cfg.batch_rows,
+                width_grid=cfg.width_grid,
             )
             i_arrays, i_plans = device_pack.pack_width_classes_device(
-                cols32, rows32, vals_d, self.nitems, deg_i, cfg.batch_rows
+                cols32, rows32, vals_d, self.nitems, deg_i, cfg.batch_rows,
+                width_grid=cfg.width_grid,
             )
             self._user_buckets = DeviceBuckets(
                 row_ids=[a[0] for a in u_arrays],
@@ -156,10 +158,12 @@ class WALSEngine(Engine):
             )
         else:
             user_classes = pack_width_classes(
-                rows, cols, dataset.values, self.nusers, cfg.batch_rows
+                rows, cols, dataset.values, self.nusers, cfg.batch_rows,
+                width_grid=cfg.width_grid,
             )
             item_classes = pack_width_classes(
-                cols, rows, dataset.values, self.nitems, cfg.batch_rows
+                cols, rows, dataset.values, self.nitems, cfg.batch_rows,
+                width_grid=cfg.width_grid,
             )
             log.info(
                 "packed %d ratings: users %s, items %s (%.2fs)",

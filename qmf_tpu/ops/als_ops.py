@@ -254,28 +254,39 @@ def _solve_side(y, class_arrays, chunk_sizes, n_rows, alpha, lam, solver,
                 precision, class_solve=True):
     """All width classes of one side inside a single trace.
 
-    class_solve=True (default) runs the three stages at class granularity:
-    a chunked BUILD scan (bounds gather/einsum working-set size), then ONE
-    wide batched factor+solve over the whole class, then one scatter. The
-    solve's ~3k-op serial dependency chain executes once per class on
-    maximal-width vectors instead of once per scan step on narrow ones —
-    the chain is latency-bound, so this is ~2x on the fused ml20m epoch
-    (measured: benchmarks/wals_micro.py, chunk_sweep.py).
+    class_solve=True (default) runs the three stages at SIDE granularity:
+    per width class, a chunked BUILD scan (bounds gather/einsum working-set
+    size) stacks that class's normal equations; the stacked (A, b) of ALL
+    classes are then concatenated and factored+solved by ONE wide batched
+    Cholesky, and written back by ONE scatter. The solve's ~3k-op serial
+    dependency chain is latency-bound, so it must execute once per
+    half-epoch on a maximal-width batch, not once per scan step on narrow
+    ones (in-scan solving measured 162 ms/epoch of solve at ml20m k=64 vs a
+    210 ms no-solve floor; benchmarks/solver_sweep.py, wals_micro.py).
     """
     yty = gramian(y)
     x_out = jnp.zeros((n_rows, y.shape[1]), dtype=y.dtype)
     loss = jnp.zeros((), dtype=y.dtype)
-    for (row_ids, col_idx, values, mask), chunk_b in zip(
-        class_arrays, chunk_sizes
-    ):
-        if class_solve:
-            a, b, conf_sum = _scan_class_build(
+    if class_solve:
+        parts = [
+            _scan_class_build(
                 y, yty, col_idx, values, mask, alpha, lam, chunk_b, precision
             )
-            x = _solve_dispatch(a, b, solver)
-            loss = loss + jnp.sum(_loss_from_solution(x, b, conf_sum, lam))
-            x_out = x_out.at[row_ids].set(x, mode="drop")
-        else:
+            for (_, col_idx, values, mask), chunk_b in zip(
+                class_arrays, chunk_sizes
+            )
+        ]
+        a = jnp.concatenate([p[0] for p in parts], axis=0)
+        b = jnp.concatenate([p[1] for p in parts], axis=0)
+        conf_sum = jnp.concatenate([p[2] for p in parts], axis=0)
+        row_ids = jnp.concatenate([c[0] for c in class_arrays], axis=0)
+        x = _solve_dispatch(a, b, solver)
+        loss = loss + jnp.sum(_loss_from_solution(x, b, conf_sum, lam))
+        x_out = x_out.at[row_ids].set(x, mode="drop")
+    else:
+        for (row_ids, col_idx, values, mask), chunk_b in zip(
+            class_arrays, chunk_sizes
+        ):
             x_out, loss = _scan_class(
                 y, yty, row_ids, col_idx, values, mask, alpha, lam, x_out,
                 loss, solver, chunk_b, precision,

@@ -32,7 +32,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qmf_tpu.ops.packing import _next_pow2, _round_up, width_class_chunk
+from qmf_tpu.ops.packing import (
+    _next_pow2,
+    _round_up,
+    pad_widths,
+    width_class_chunk,
+)
 
 
 @dataclasses.dataclass
@@ -50,6 +55,7 @@ def plan_width_classes(
     batch_rows: int = 4096,
     min_width: int = 8,
     row_multiple: int = 8,
+    width_grid: str = "pow2",
 ) -> List[ClassPlan]:
     """Plan width classes from per-row degrees alone (no COO sort needed).
 
@@ -60,10 +66,7 @@ def plan_width_classes(
     active = np.nonzero(degrees > 0)[0]
     if len(active) == 0:
         return []
-    widths = np.maximum(
-        min_width,
-        2 ** np.ceil(np.log2(np.maximum(degrees[active], 1))).astype(np.int64),
-    )
+    widths = pad_widths(degrees[active], min_width, width_grid)
     order = np.argsort(widths, kind="stable")
     active, widths = active[order], widths[order]
 
@@ -151,6 +154,7 @@ def pack_width_classes_device(
     batch_rows: int = 4096,
     min_width: int = 8,
     row_multiple: int = 8,
+    width_grid: str = "pow2",
 ):
     """Device-packed equivalent of ``packing.pack_width_classes``.
 
@@ -159,7 +163,7 @@ def pack_width_classes_device(
     packer's output, plus the host-side plans (for chunk sizes / stats).
     """
     plans = plan_width_classes(
-        degrees, n_rows, batch_rows, min_width, row_multiple
+        degrees, n_rows, batch_rows, min_width, row_multiple, width_grid
     )
     if not plans:
         return [], plans

@@ -85,6 +85,27 @@ def _next_pow2(x: int, minimum: int = 8) -> int:
     return d
 
 
+def pad_widths(
+    degrees: np.ndarray, min_width: int = 8, width_grid: str = "pow2"
+) -> np.ndarray:
+    """Vectorized padded width per row: smallest grid width >= degree.
+
+    width_grid "pow2" uses 8,16,32,… (fill ~0.70 on MovieLens-20M power-law
+    degrees); "pow2_15" interleaves 1.5x points — 8,12,16,24,32,48,… —
+    raising fill to ~0.83 at ~2x the class count (2x the compiled einsum
+    shapes, same scan-chunk rule).
+    """
+    deg = np.maximum(np.asarray(degrees, dtype=np.int64), 1)
+    p2 = np.int64(1) << np.ceil(np.log2(deg)).astype(np.int64)  # >= deg
+    w = np.maximum(min_width, p2)
+    if width_grid == "pow2_15":
+        w34 = (3 * w) // 4  # the 1.5*pow2 point below each pow2
+        w = np.where(w34 >= deg, np.maximum(w34, min_width), w)
+    elif width_grid != "pow2":
+        raise ValueError(f"unknown width_grid: {width_grid}")
+    return w
+
+
 def pack_buckets(
     rows: np.ndarray,
     cols: np.ndarray,
@@ -159,6 +180,7 @@ def pack_width_classes(
     min_width: int = 8,
     row_multiple: int = 8,
     dtype=np.float64,
+    width_grid: str = "pow2",
 ) -> List[Bucket]:
     """Pack COO ratings into ONE padded array set per width class.
 
@@ -181,8 +203,7 @@ def pack_width_classes(
     active = np.nonzero(degrees > 0)[0]
     if len(active) == 0:
         return []
-    widths = np.maximum(min_width, 2 ** np.ceil(np.log2(np.maximum(
-        degrees[active], 1))).astype(np.int64))
+    widths = pad_widths(degrees[active], min_width, width_grid)
     order = np.argsort(widths, kind="stable")
     active, widths = active[order], widths[order]
 

@@ -64,11 +64,11 @@ class ShardedWALSEngine(WALSEngine):
         row_multiple = 8 * self.mesh.size
         user_classes = pack_width_classes(
             rows, cols, dataset.values, self.nusers, cfg.batch_rows,
-            row_multiple=row_multiple,
+            row_multiple=row_multiple, width_grid=cfg.width_grid,
         )
         item_classes = pack_width_classes(
             cols, rows, dataset.values, self.nitems, cfg.batch_rows,
-            row_multiple=row_multiple,
+            row_multiple=row_multiple, width_grid=cfg.width_grid,
         )
         log.info(
             "sharded packing over %d devices: users %s, items %s",
