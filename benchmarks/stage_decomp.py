@@ -1,0 +1,108 @@
+"""Honest WALS stage decomposition at ml20m k=64 (no DCE traps).
+
+Usage: python -u benchmarks/stage_decomp.py [solver ...]
+
+Stage 1 (build): jit program that returns the SIDE-stacked (A, b) normal
+equations for the user side — A is a real output, so nothing is dead-code
+eliminated (the `identity`-solver sweep underestimated build cost because
+XLA narrowed the A einsum to the single column the fake solve consumed).
+Stage 2 (solve): jit program x = solve(A, b) per requested solver, timed
+on the materialized stage-1 outputs.
+
+Prints per-stage times; build + both sides' solve + scatter approximates
+the fused epoch (cross-checked against solver_sweep.py numbers).
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "benchmarks")
+from qmf_tpu.cli.common import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import datagen  # noqa: E402
+from qmf_tpu.config import WALSConfig  # noqa: E402
+from qmf_tpu.data.dataset import Dataset  # noqa: E402
+from qmf_tpu.models.wals import WALSEngine  # noqa: E402
+from qmf_tpu.ops import als_ops  # noqa: E402
+
+REPS = 5
+
+
+def timed(fn, *args):
+    out = fn(*args)
+    jax.tree_util.tree_map(
+        lambda x: float(jnp.asarray(x).ravel()[0]), out
+    )
+    t0 = time.time()
+    for _ in range(REPS):
+        out = fn(*args)
+    jax.tree_util.tree_map(lambda x: float(jnp.asarray(x).ravel()[0]), out)
+    return (time.time() - t0) / REPS, out
+
+
+def main():
+    solvers = sys.argv[1:] or ["cholesky", "schur"]
+    users, items, values = datagen.load_npz("ml20m")
+    ds = Dataset(users, items, values)
+    cfg = WALSConfig(
+        nepochs=1, nfactors=64, init_seed=0, matmul_precision="default"
+    )
+    eng = WALSEngine(cfg)
+    t0 = time.time()
+    eng.init(ds)
+    print(f"init {time.time()-t0:.1f}s", flush=True)
+
+    ub = eng._user_buckets
+    u_arrays = [
+        (ub.row_ids[i], ub.col_idx[i], ub.values[i], ub.mask[i])
+        for i in range(len(ub))
+    ]
+    alpha = jnp.asarray(cfg.confidence_weight, dtype=eng.dtype)
+    lam = jnp.asarray(cfg.regularization_lambda, dtype=eng.dtype)
+    chunks = tuple(eng._user_chunks)
+
+    def build_side(y):
+        yty = als_ops.gramian(y)
+        parts = [
+            als_ops._scan_class_build(
+                y, yty, col_idx, vals, mask, alpha, lam, cb,
+                cfg.matmul_precision,
+            )
+            for (_, col_idx, vals, mask), cb in zip(u_arrays, chunks)
+        ]
+        a = jnp.concatenate([p[0] for p in parts], axis=0)
+        b = jnp.concatenate([p[1] for p in parts], axis=0)
+        return a, b
+
+    t0 = time.time()
+    build_j = jax.jit(build_side)
+    dt, (a, b) = timed(build_j, eng.item_factors)
+    print(
+        f"user-side BUILD (A {a.shape}, b {b.shape}): {dt*1e3:.1f} ms "
+        f"(first call {time.time()-t0:.1f}s)",
+        flush=True,
+    )
+
+    for solver in solvers:
+        solve_j = jax.jit(
+            lambda aa, bb, s=solver: als_ops._solve_dispatch(aa, bb, s)
+        )
+        t0 = time.time()
+        dt, _ = timed(solve_j, a, b)
+        print(
+            f"user-side SOLVE [{solver}] @ {a.shape[0]} rows: {dt*1e3:.1f} ms"
+            f" (first call {time.time()-t0:.1f}s)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

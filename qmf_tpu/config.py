@@ -35,8 +35,10 @@ class WALSConfig:
     # Computation dtype on device. float32 is the TPU-native choice; the
     # reference computes in float64 on CPU (qmf/Types.h:24).
     dtype: str = "float32"
-    # "cholesky" (SPD fast path, implicit-feedback standard), "pallas"
-    # (fused factor+solve TPU kernel, fastest on real hardware), or "lu"
+    # "cholesky" (unrolled blocked SPD factor+solve), "schur" (recursive
+    # blocked explicit SPD inverse — matmul-heavy, ~10x shorter op chain,
+    # fastest on TPU), "pallas" (fused factor+solve kernel; opt-in, the
+    # remote AOT compiler in some environments cannot compile it), or "lu"
     # (general symmetric, matches dsysv_'s tolerance of indefinite systems).
     solver: str = "cholesky"
     # Max rows per solve bucket on device; bounds compile count and memory.

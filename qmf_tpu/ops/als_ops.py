@@ -93,7 +93,7 @@ def solve_bucket(
     solver: str = "cholesky",
 ) -> Tuple[jax.Array, jax.Array]:
     """Solve one padded bucket of rows. Returns (x (B,k), loss (B,))."""
-    if solver not in ("cholesky", "cholesky_xla", "pallas", "lu"):
+    if solver not in ("cholesky", "schur", "cholesky_xla", "pallas", "lu"):
         raise ValueError(f"unknown solver: {solver}")
     return _solve_bucket_body(y, yty, col_idx, values, mask, alpha, lam, solver)
 
@@ -129,6 +129,10 @@ def _build_bucket(y, yty, col_idx, values, mask, alpha, lam, precision):
 def _solve_dispatch(a, b, solver):
     if solver == "cholesky":
         return _solve_spd(a, b)
+    if solver == "schur":
+        from qmf_tpu.ops import linalg
+
+        return linalg.solve_spd_schur(a, b)
     if solver == "cholesky_xla":
         return _solve_spd_xla(a, b)
     if solver == "pallas":

