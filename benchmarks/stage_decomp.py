@@ -91,6 +91,54 @@ def main():
         flush=True,
     )
 
+    if "build2" in sys.argv:
+        # variant: pre-scale yg by w so the A einsum is a clean two-operand
+        # batched GEMM (bdk,bdl->bkl) that must hit the MXU
+        prec = als_ops._PRECISION_BY_NAME["default"]
+
+        def build2_class(y, yty, col_idx, vals, mask, chunk_b):
+            n_chunks = col_idx.shape[0] // chunk_b
+            d = col_idx.shape[1]
+            col_c = col_idx.reshape(n_chunks, chunk_b, d)
+            val_c = vals.reshape(n_chunks, chunk_b, d)
+            mask_c = mask.reshape(n_chunks, chunk_b, d)
+
+            def body(_, inp):
+                col, val, m = inp
+                yg = y[col]
+                maskf = m.astype(y.dtype)
+                w = alpha * val * maskf
+                conf = maskf + w
+                bb = jnp.einsum("bd,bdk->bk", conf, yg, precision=prec)
+                ygw = yg * w[..., None]
+                aa = yty[None] + jnp.einsum(
+                    "bdk,bdl->bkl", ygw, yg, precision=prec
+                ) + lam * jnp.eye(y.shape[1], dtype=y.dtype)
+                return None, (aa, bb)
+
+            _, (a_s, b_s) = jax.lax.scan(body, None, (col_c, val_c, mask_c))
+            kk = y.shape[1]
+            return a_s.reshape(-1, kk, kk), b_s.reshape(-1, kk)
+
+        def build_side2(y):
+            yty = als_ops.gramian(y)
+            parts = [
+                build2_class(y, yty, col_idx, vals, mask, cb)
+                for (_, col_idx, vals, mask), cb in zip(u_arrays, chunks)
+            ]
+            return (
+                jnp.concatenate([p[0] for p in parts], axis=0),
+                jnp.concatenate([p[1] for p in parts], axis=0),
+            )
+
+        t0 = time.time()
+        dt, _ = timed(jax.jit(build_side2), eng.item_factors)
+        print(
+            f"user-side BUILD2 (pre-scaled GEMM): {dt*1e3:.1f} ms "
+            f"(first call {time.time()-t0:.1f}s)",
+            flush=True,
+        )
+
     for solver in solvers:
         solve_j = jax.jit(
             lambda aa, bb, s=solver: als_ops._solve_dispatch(aa, bb, s)

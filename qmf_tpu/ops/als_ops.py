@@ -93,7 +93,10 @@ def solve_bucket(
     solver: str = "cholesky",
 ) -> Tuple[jax.Array, jax.Array]:
     """Solve one padded bucket of rows. Returns (x (B,k), loss (B,))."""
-    if solver not in ("cholesky", "schur", "cholesky_xla", "pallas", "lu"):
+    if solver not in (
+        "cholesky", "cholesky_matmul", "schur", "cholesky_xla", "pallas",
+        "lu",
+    ):
         raise ValueError(f"unknown solver: {solver}")
     return _solve_bucket_body(y, yty, col_idx, values, mask, alpha, lam, solver)
 
@@ -113,22 +116,53 @@ def _build_bucket(y, yty, col_idx, values, mask, alpha, lam, precision):
     conf_sum (B,)) — the gather + MXU einsum stage, no solve."""
     prec = _PRECISION_BY_NAME.get(precision, jax.lax.Precision.HIGHEST)
     dtype = y.dtype
-    yg = y[col_idx]
     maskf = mask.astype(dtype)
     w = alpha * values * maskf
     conf = maskf + w
-    b = jnp.einsum("bd,bdk->bk", conf, yg, precision=prec)
-    a = (
-        yty[None]
-        + jnp.einsum("bdk,bd,bdl->bkl", yg, w, yg, precision=prec)
-        + lam * jnp.eye(yty.shape[0], dtype=dtype)
-    )
+    if precision == "default" and dtype == jnp.float32:
+        # DEFAULT-precision einsums round f32 operands to bf16 on the MXU
+        # anyway; casting BEFORE the gather is numerically the same rounding
+        # but halves the dominant HBM cost of the build — the (B, D, k)
+        # gathered-factor stream (measured BW-bound, benchmarks/
+        # stage_decomp.py). Accumulation stays f32.
+        yg = y.astype(jnp.bfloat16)[col_idx]
+        b = jnp.einsum(
+            "bd,bdk->bk",
+            conf.astype(jnp.bfloat16),
+            yg,
+            precision=prec,
+            preferred_element_type=dtype,
+        )
+        ygw = yg * w.astype(jnp.bfloat16)[..., None]
+        a = (
+            yty[None]
+            + jnp.einsum(
+                "bdk,bdl->bkl",
+                ygw,
+                yg,
+                precision=prec,
+                preferred_element_type=dtype,
+            )
+            + lam * jnp.eye(yty.shape[0], dtype=dtype)
+        )
+    else:
+        yg = y[col_idx]
+        b = jnp.einsum("bd,bdk->bk", conf, yg, precision=prec)
+        a = (
+            yty[None]
+            + jnp.einsum("bdk,bd,bdl->bkl", yg, w, yg, precision=prec)
+            + lam * jnp.eye(yty.shape[0], dtype=dtype)
+        )
     return a, b, jnp.sum(conf, axis=1)
 
 
 def _solve_dispatch(a, b, solver):
     if solver == "cholesky":
         return _solve_spd(a, b)
+    if solver == "cholesky_matmul":
+        from qmf_tpu.ops import linalg
+
+        return linalg.solve_spd_matmul(a, b)
     if solver == "schur":
         from qmf_tpu.ops import linalg
 

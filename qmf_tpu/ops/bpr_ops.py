@@ -213,6 +213,25 @@ def _sgd_step_body(
         max_degree=max_degree,
         unroll=unroll,
     )
+    return _sgd_update_body(
+        params, users, pos_items, neg, weight, lr, user_lambda, item_lambda,
+        bias_lambda, use_biases=use_biases,
+    )
+
+
+def _sgd_update_body(
+    params: BPRParams,
+    users: jax.Array,  # (B,) int32
+    pos_items: jax.Array,  # (B,) int32
+    neg: jax.Array,  # (B,) int32 pre-sampled negatives
+    weight: jax.Array,  # (B,) 0/1 mask for batch padding
+    lr: jax.Array,
+    user_lambda: jax.Array,
+    item_lambda: jax.Array,
+    bias_lambda: jax.Array,
+    use_biases: bool,
+) -> BPRParams:
+    """The SGD update of one minibatch with negatives already sampled."""
     d, pu, qi, qj = _score_diff(params, users, pos_items, neg, use_biases)
     e = (1.0 / (1.0 + jnp.exp(d))) * weight  # masked loss derivative
     wcol = weight[:, None]
@@ -329,6 +348,13 @@ def _sgd_epoch_impl(
     vector and then emits num_negative_samples consecutive updates per pair
     (BPREngine.cpp:172-174, BPREngine-inl.h:21-29); here the expanded
     triplet stream is permuted, an equivalent-in-distribution ordering.
+
+    Negative sampling runs ONCE for the whole epoch before the step scan
+    (negatives are parameter-independent, so sampling commutes with the
+    updates — the reference samples lazily per pair only because it
+    streams). This keeps the per-step serial chain to gathers + the SGD
+    scatter; the ~log(max_degree) membership-search rounds run as one wide
+    vectorized pass over all S*B triplets instead of S sequential passes.
     """
     if shuffle:
         key, pkey = jax.random.split(key)
@@ -337,35 +363,33 @@ def _sgd_epoch_impl(
         items_flat = items_flat[perm]
         weights_flat = weights_flat[perm]
     s = users_flat.shape[0] // batch_size
+    key, skey = jax.random.split(key)
+    neg_flat = _sample_negatives_impl(
+        skey,
+        users_flat,
+        indptr,
+        set_items,
+        n_items=n_items,
+        rounds=neg_rounds,
+        max_degree=max_degree,
+        unroll=unroll,
+    )
     u_steps = users_flat.reshape(s, batch_size)
     i_steps = items_flat.reshape(s, batch_size)
+    n_steps = neg_flat.reshape(s, batch_size)
     w_steps = weights_flat.reshape(s, batch_size)
 
-    def body(carry, inp):
-        params, key = carry
-        key, sub = jax.random.split(key)
-        u, i, w = inp
-        params = _sgd_step_body(
-            params,
-            sub,
-            u,
-            i,
-            w,
-            indptr,
-            set_items,
-            lr,
-            user_lambda,
-            item_lambda,
-            bias_lambda,
-            n_items=n_items,
+    def body(params, inp):
+        u, i, n, w = inp
+        params = _sgd_update_body(
+            params, u, i, n, w, lr, user_lambda, item_lambda, bias_lambda,
             use_biases=use_biases,
-            neg_rounds=neg_rounds,
-            max_degree=max_degree,
-            unroll=unroll,
         )
-        return (params, key), None
+        return params, None
 
-    (params, _), _ = jax.lax.scan(body, (params, key), (u_steps, i_steps, w_steps))
+    params, _ = jax.lax.scan(
+        body, params, (u_steps, i_steps, n_steps, w_steps)
+    )
     return params
 
 

@@ -91,3 +91,26 @@ class TestSchurInverse:
              for i in range(4)]
         )
         np.testing.assert_allclose(x, x_ref, rtol=2e-4, atol=2e-4)
+
+
+class TestMatmulSubstitutionSolve:
+    @pytest.mark.parametrize("k", [8, 30, 64, 100])
+    def test_matches_numpy(self, k):
+        rng = np.random.default_rng(6)
+        a = _spd(rng, 5, k)
+        b = rng.normal(size=(5, k))
+        x = np.asarray(linalg.solve_spd_matmul(jnp.asarray(a), jnp.asarray(b)))
+        x_ref = np.stack([np.linalg.solve(a[i], b[i]) for i in range(5)])
+        np.testing.assert_allclose(x, x_ref, rtol=1e-8, atol=1e-10)
+
+    def test_ill_conditioned_matches_cholesky_grade(self):
+        rng = np.random.default_rng(7)
+        k, bsz = 64, 8
+        q, _ = np.linalg.qr(rng.normal(size=(bsz, k, k)))
+        ev = np.logspace(0, 9, k)
+        a = np.einsum("bij,j,bkj->bik", q, ev, q)
+        b = rng.normal(size=(bsz, k))
+        x = np.asarray(linalg.solve_spd_matmul(jnp.asarray(a), jnp.asarray(b)))
+        x_ref = np.stack([np.linalg.solve(a[i], b[i]) for i in range(bsz)])
+        rel = np.abs(x - x_ref).max() / np.abs(x_ref).max()
+        assert rel < 1e-6, rel
