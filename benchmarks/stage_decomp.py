@@ -139,10 +139,20 @@ def main():
             flush=True,
         )
 
+    from qmf_tpu.ops import linalg
+
+    custom = {
+        "cholesky16": lambda aa, bb: linalg.solve_spd(aa, bb, block=16),
+        "cholesky4": lambda aa, bb: linalg.solve_spd(aa, bb, block=4),
+        "cholesky32": lambda aa, bb: linalg.solve_spd(aa, bb, block=32),
+    }
     for solver in solvers:
-        solve_j = jax.jit(
-            lambda aa, bb, s=solver: als_ops._solve_dispatch(aa, bb, s)
-        )
+        if solver in custom:
+            solve_j = jax.jit(custom[solver])
+        else:
+            solve_j = jax.jit(
+                lambda aa, bb, s=solver: als_ops._solve_dispatch(aa, bb, s)
+            )
         t0 = time.time()
         dt, _ = timed(solve_j, a, b)
         print(

@@ -19,7 +19,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_BLOCK = 8
+# Cholesky block size. Swept on v5e at the WALS hot shape (141k x 64 x 64
+# stacked normal equations, benchmarks/stage_decomp.py): 8 -> 130 ms,
+# 16 -> 98 ms, 32 -> 321 ms. 16 balances the unrolled diagonal-block chain
+# (O(nb^2) ops) against the number of panel/Schur stages (k/nb).
+_BLOCK = 16
 _PREC = jax.lax.Precision.HIGHEST
 
 
