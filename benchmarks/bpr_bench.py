@@ -27,40 +27,55 @@ from qmf_tpu.models.bpr import BPREngine  # noqa: E402
 REF_UPDATES_PER_S = 9.8e6  # 16-thread-extrapolated reference Hogwild
 
 
+def _sync(eng):
+    # donated-input programs return arrays block_until_ready does NOT wait
+    # on (axon backend quirk); fetch a scalar for a true device sync
+    return float(eng.params.user_factors[0, 0])
+
+
 def main():
-    batches = [int(s) for s in sys.argv[1:]] or [32768]
+    # args: batch sizes, optionally "BSxROUNDS" (default rounds=4, the
+    # exact-rejection setting; rounds=1 is the one-shot sampling variant)
+    specs = []
+    for s in sys.argv[1:]:
+        bs, _, r = s.partition("x")
+        specs.append((int(bs), int(r) if r else 4))
+    specs = specs or [(32768, 4)]
     users, items, values = datagen.load_npz("ml20m")
     ds = Dataset(users, items, values)
-    for bs in batches:
+    for bs, rounds in specs:
         cfg = BPRConfig(
             nepochs=1,
             nfactors=30,
             num_negative_samples=3,
             batch_size=bs,
-            neg_resample_rounds=1,
+            neg_resample_rounds=rounds,
             init_seed=0,
         )
         eng = BPREngine(cfg)
         t0 = time.time()
         eng.init(ds)
-        print(f"bs={bs}: init {time.time()-t0:.1f}s", flush=True)
+        print(f"bs={bs} r={rounds}: init {time.time()-t0:.1f}s", flush=True)
         n_updates = int(eng._tri_users.shape[0])
 
         t0 = time.time()
         eng._epoch()
-        jax.block_until_ready(eng.params.user_factors)
-        print(f"bs={bs}: warmup epoch (incl compile) {time.time()-t0:.1f}s",
-              flush=True)
+        _sync(eng)
+        print(
+            f"bs={bs} r={rounds}: warmup epoch (incl compile) "
+            f"{time.time()-t0:.1f}s",
+            flush=True,
+        )
         times = []
         for _ in range(3):
             t0 = time.time()
             eng._epoch()
-            jax.block_until_ready(eng.params.user_factors)
+            _sync(eng)
             times.append(time.time() - t0)
         ep = float(np.median(times))
         ups = n_updates / ep
         print(
-            f"bs={bs}: epoch {ep:.2f}s, {ups/1e6:.2f}M updates/s "
+            f"bs={bs} r={rounds}: epoch {ep:.2f}s, {ups/1e6:.2f}M updates/s "
             f"(vs ref 16-thread {REF_UPDATES_PER_S/1e6:.1f}M -> "
             f"{ups/REF_UPDATES_PER_S:.2f}x)",
             flush=True,
