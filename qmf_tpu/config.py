@@ -35,10 +35,11 @@ class WALSConfig:
     # Computation dtype on device. float32 is the TPU-native choice; the
     # reference computes in float64 on CPU (qmf/Types.h:24).
     dtype: str = "float32"
-    # "cholesky" (unrolled blocked SPD factor+solve), "schur" (recursive
-    # blocked explicit SPD inverse — matmul-heavy, ~10x shorter op chain,
-    # fastest on TPU), "pallas" (fused factor+solve kernel; opt-in, the
-    # remote AOT compiler in some environments cannot compile it), or "lu"
+    # "cholesky" (unrolled blocked SPD factor+solve — fastest measured on
+    # v5e, see benchmarks/README.md), "schur" (recursive explicit SPD
+    # inverse; matmul-heavy but HBM-bound at scale), "cholesky_matmul"
+    # (matmul-panel substitutions), "pallas" (fused factor+solve kernel;
+    # opt-in, some remote AOT compilers cannot compile it), or "lu"
     # (general symmetric, matches dsysv_'s tolerance of indefinite systems).
     solver: str = "cholesky"
     # Max rows per solve bucket on device; bounds compile count and memory.
@@ -109,6 +110,12 @@ class BPRConfig:
     # as a fori_loop (faster; opt-in while a historical TPU-runtime crash
     # with the unrolled form is being re-validated).
     unroll_membership: bool = False
+    # Memory budget (MB) for the dense packed (user, item) membership
+    # bitmap used by the hot negative sampler: ONE random gather per
+    # candidate instead of ~log2(max_degree) chained binary-search gathers
+    # (measured 6x sampler speedup at ml20m). Above the budget (U*I/8
+    # bytes) the sampler falls back to the scalable CSR search.
+    bitmap_budget_mb: int = 1024
     init_seed: int = 0
 
 

@@ -104,6 +104,15 @@ class BPREngine(Engine):
         self._pos_set = bpr_ops.make_pos_set(
             self._data_users, self._data_items, self.nusers
         )
+        # O(1) membership bitmap for the hot sampler when the id space
+        # fits the budget (U*I/8 bytes); CSR binary search otherwise
+        bitmap_bytes = self.nusers * ((self.nitems + 31) // 32) * 4
+        if bitmap_bytes <= cfg.bitmap_budget_mb * (1 << 20):
+            self._pos_bitmap = bpr_ops.make_pos_bitmap(
+                self._data_users, self._data_items, self.nusers, self.nitems
+            )
+        else:
+            self._pos_bitmap = None
 
         # device-resident triplet stream for the one-dispatch epoch:
         # each positive pair repeated num_negative_samples times
@@ -111,7 +120,19 @@ class BPREngine(Engine):
         # multiple with zero weights
         tri_u = np.repeat(self._data_users, cfg.num_negative_samples)
         tri_i = np.repeat(self._data_items, cfg.num_negative_samples)
-        pad = (-len(tri_u)) % cfg.batch_size
+        self._n_real_triplets = len(tri_u)
+        bs = min(cfg.batch_size, max(1, len(tri_u)))
+        if (
+            self._pos_bitmap is not None
+            and self.nitems <= (1 << bpr_ops._PACK_SHIFT)
+            and bs & (bs - 1) == 0
+        ):
+            # packed fast path: pad to a power of two so the epoch shuffle
+            # can be a sort-free bijective index hash (bpr_ops._mix_bijection)
+            n_pad = max(bs, 1 << (len(tri_u) - 1).bit_length())
+            pad = n_pad - len(tri_u)
+        else:
+            pad = (-len(tri_u)) % bs
         w = np.ones(len(tri_u) + pad, dtype=np.float32)
         if pad:
             tri_u = np.concatenate([tri_u, np.zeros(pad, np.int32)])
@@ -124,19 +145,18 @@ class BPREngine(Engine):
         # fixed seeded train eval set (reference BPREngine.cpp:84-87).
         # Negatives are rejection-sampled ON DEVICE (16 rounds ~= exact):
         # no 100s-of-MB host->device triplet transfer, no host loop.
+        # NOTE: the 16-round CSR rejection program kernel-faults this TPU
+        # runtime at MovieLens-20M scale when dispatched in one piece (the
+        # fault surfaces at the NEXT sync, not here — bpr_crash_bisect.py);
+        # use the O(1) bitmap membership when available and chunk the CSR
+        # fallback into bounded dispatches.
         ev_u = jnp.repeat(
             jnp.asarray(self._data_users), self.eval_num_neg
         )
         ev_p = jnp.repeat(
             jnp.asarray(self._data_items), self.eval_num_neg
         )
-        ev_n = bpr_ops.sample_negatives(
-            jax.random.PRNGKey(self.eval_seed),
-            ev_u,
-            self._pos_set,
-            self.nitems,
-            rounds=16,
-        )
+        ev_n = self._sample_eval_negatives(ev_u)
         self._eval_set = (ev_u, ev_p, ev_n)
 
         # model init (reference BPREngine.cpp:89-104)
@@ -196,6 +216,30 @@ class BPREngine(Engine):
                 self.metrics_engine.config.seed,
             )
 
+    def _sample_eval_negatives(self, ev_u):
+        """Rejection-sample eval negatives (seeded, fixed for all epochs)."""
+        key = jax.random.PRNGKey(self.eval_seed)
+        if self._pos_bitmap is not None:
+            return bpr_ops.sample_negatives(
+                key, ev_u, self._pos_set, self.nitems, rounds=16,
+                bitmap=self._pos_bitmap,
+            )
+        chunk = 4_000_000
+        if ev_u.shape[0] <= chunk:
+            return bpr_ops.sample_negatives(
+                key, ev_u, self._pos_set, self.nitems, rounds=16
+            )
+        outs = []
+        for start in range(0, ev_u.shape[0], chunk):
+            key, sub = jax.random.split(key)
+            outs.append(
+                bpr_ops.sample_negatives(
+                    sub, ev_u[start:start + chunk], self._pos_set,
+                    self.nitems, rounds=16,
+                )
+            )
+        return jnp.concatenate(outs)
+
     # --- training -------------------------------------------------------------
     def _epoch(self) -> None:
         """One epoch = ONE device program (shuffle + sample + all steps)."""
@@ -218,6 +262,8 @@ class BPREngine(Engine):
             shuffle=cfg.shuffle_training_set,
             batch_size=min(cfg.batch_size, self._tri_users.shape[0]),
             unroll=cfg.unroll_membership,
+            bitmap=self._pos_bitmap,
+            n_real=self._n_real_triplets,
         )
 
     def enable_checkpointing(self, directory: str, every: int = 1) -> None:

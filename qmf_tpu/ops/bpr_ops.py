@@ -77,6 +77,51 @@ def make_pos_set(
     )
 
 
+class PosBitmap(NamedTuple):
+    """Dense packed (user, item) membership bitmap for O(1) device tests.
+
+    One int32 word holds 32 item slots: bit (i % 32) of
+    ``words[u * words_per_user + i // 32]``. A membership test is ONE
+    random gather instead of the CSR binary search's ~log2(max_degree)
+    chained gathers — the sampler's dominant cost at MovieLens-20M scale
+    (measured 23.7 s -> see benchmarks/README.md). Memory is U*I/8 bytes,
+    so callers gate on a budget and fall back to :class:`PosSet` when the
+    id space is too large (the bitmap does NOT scale to e.g. 10M x 1M).
+    """
+
+    words: jax.Array  # (U * words_per_user,) int32
+    words_per_user: int
+
+
+def make_pos_bitmap(
+    user_idx: np.ndarray, item_idx: np.ndarray, n_users: int, n_items: int
+) -> PosBitmap:
+    """Build the packed membership bitmap (host side, vectorized)."""
+    wpu = (n_items + 31) // 32
+    u = np.asarray(user_idx, dtype=np.int64)
+    i = np.asarray(item_idx, dtype=np.int64)
+    word_idx = u * wpu + (i >> 5)
+    bit = np.uint32(1) << (i & 31).astype(np.uint32)
+    order = np.argsort(word_idx, kind="stable")
+    word_idx, bit = word_idx[order], bit[order]
+    # OR together all bits landing in the same word (segment reduce)
+    starts = np.concatenate(
+        [[0], np.nonzero(np.diff(word_idx))[0] + 1]
+    ) if len(word_idx) else np.zeros(0, dtype=np.int64)
+    words = np.zeros(n_users * wpu, dtype=np.uint32)
+    if len(word_idx):
+        words[word_idx[starts]] = np.bitwise_or.reduceat(bit, starts)
+    return PosBitmap(jnp.asarray(words.view(np.int32)), wpu)
+
+
+def _is_member_bitmap(
+    bitmap: PosBitmap, users: jax.Array, cand: jax.Array
+) -> jax.Array:
+    """Vectorized O(1) membership test: one gather + bit extract."""
+    word = bitmap.words[users * bitmap.words_per_user + (cand >> 5)]
+    return (jax.lax.shift_right_logical(word, cand & 31) & 1) == 1
+
+
 def _is_member(
     pos_set: PosSet, users: jax.Array, cand: jax.Array, unroll: bool = False
 ) -> jax.Array:
@@ -113,7 +158,8 @@ def _is_member(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_items", "rounds", "max_degree", "unroll")
+    jax.jit,
+    static_argnames=("n_items", "rounds", "max_degree", "unroll", "wpu"),
 )
 def _sample_negatives_impl(
     key: jax.Array,
@@ -124,15 +170,25 @@ def _sample_negatives_impl(
     rounds: int,
     max_degree: int,
     unroll: bool = False,
+    bitmap_words: Optional[jax.Array] = None,
+    wpu: int = 0,
 ) -> jax.Array:
     pos_set = PosSet(indptr, pos_items, max_degree)
     b = users.shape[0]
     neg = jnp.zeros((b,), dtype=jnp.int32)
     valid = jnp.zeros((b,), dtype=bool)
+
+    def member(cand):
+        if bitmap_words is not None:
+            return _is_member_bitmap(
+                PosBitmap(bitmap_words, wpu), users, cand
+            )
+        return _is_member(pos_set, users, cand, unroll=unroll)
+
     for r in range(rounds):
         key, sub = jax.random.split(key)
         cand = jax.random.randint(sub, (b,), 0, n_items, dtype=jnp.int32)
-        cand_ok = ~_is_member(pos_set, users, cand, unroll=unroll)
+        cand_ok = ~member(cand)
         take = (~valid) & cand_ok
         neg = jnp.where(take, cand, neg)
         # after the final round, fall back to the last candidate if invalid
@@ -149,6 +205,7 @@ def sample_negatives(
     n_items: int,
     rounds: int = 4,
     unroll: bool = False,
+    bitmap: Optional[PosBitmap] = None,
 ) -> jax.Array:
     """Sample one negative item per row, rejecting the user's positives.
 
@@ -165,6 +222,8 @@ def sample_negatives(
         rounds=rounds,
         max_degree=pos_set.max_degree,
         unroll=unroll,
+        bitmap_words=None if bitmap is None else bitmap.words,
+        wpu=0 if bitmap is None else bitmap.words_per_user,
     )
 
 
@@ -201,6 +260,8 @@ def _sgd_step_body(
     neg_rounds: int,
     max_degree: int,
     unroll: bool = False,
+    bitmap_words: Optional[jax.Array] = None,
+    wpu: int = 0,
 ) -> BPRParams:
     """One synchronous minibatch update (reference update(), vectorized)."""
     neg = _sample_negatives_impl(
@@ -212,6 +273,8 @@ def _sgd_step_body(
         rounds=neg_rounds,
         max_degree=max_degree,
         unroll=unroll,
+        bitmap_words=bitmap_words,
+        wpu=wpu,
     )
     return _sgd_update_body(
         params, users, pos_items, neg, weight, lr, user_lambda, item_lambda,
@@ -239,21 +302,23 @@ def _sgd_update_body(
     uf = params.user_factors.at[users].add(
         lr * (e[:, None] * (qi - qj) - user_lambda * pu * wcol)
     )
-    # one 2B-row scatter instead of two sequential B-row scatters (additive,
-    # so merging is exact up to summation order of duplicate indices)
+    # NOTE: merging the pos/neg item scatters into one concatenated 2B-row
+    # scatter is algebraically equivalent and was tried — it deterministically
+    # kernel-faults this TPU runtime inside the epoch scan at MovieLens-20M
+    # scale (benchmarks/bpr_crash_bisect.py, "nobitmap" variant). Keep the
+    # two sequential B-row scatters.
     epu = e[:, None] * pu
-    item_idx = jnp.concatenate([pos_items, neg])
-    item_grad = jnp.concatenate(
-        [epu - item_lambda * qi * wcol, -epu - item_lambda * qj * wcol]
+    itf = params.item_factors.at[pos_items].add(
+        lr * (epu - item_lambda * qi * wcol)
     )
-    itf = params.item_factors.at[item_idx].add(lr * item_grad)
+    itf = itf.at[neg].add(lr * (-epu - item_lambda * qj * wcol))
     if use_biases:
         bi = params.item_biases[pos_items]
         bj = params.item_biases[neg]
-        bias_grad = jnp.concatenate(
-            [e - bias_lambda * bi * weight, -e - bias_lambda * bj * weight]
+        ib = params.item_biases.at[pos_items].add(
+            lr * (e - bias_lambda * bi * weight)
         )
-        ib = params.item_biases.at[item_idx].add(lr * bias_grad)
+        ib = ib.at[neg].add(lr * (-e - bias_lambda * bj * weight))
     else:
         ib = params.item_biases
     return BPRParams(uf, itf, ib)
@@ -262,7 +327,7 @@ def _sgd_update_body(
 _sgd_step_impl = functools.partial(
     jax.jit,
     static_argnames=(
-        "n_items", "use_biases", "neg_rounds", "max_degree", "unroll"
+        "n_items", "use_biases", "neg_rounds", "max_degree", "unroll", "wpu"
     ),
     donate_argnums=(0,),
 )(_sgd_step_body)
@@ -312,6 +377,7 @@ def sgd_step(
         "shuffle",
         "batch_size",
         "unroll",
+        "wpu",
     ),
     donate_argnums=(0,),
 )
@@ -334,6 +400,8 @@ def _sgd_epoch_impl(
     shuffle: bool,
     batch_size: int,
     unroll: bool = False,
+    bitmap_words: Optional[jax.Array] = None,
+    wpu: int = 0,
 ) -> BPRParams:
     """A FULL training epoch as one device program.
 
@@ -341,20 +409,21 @@ def _sgd_epoch_impl(
     sampling negatives per pair (BPREngine.cpp:146-176). Here the epoch is a
     ``lax.scan`` over minibatches: optional on-device permutation of the
     triplet stream, per-step negative sampling, and the SGD update — a
-    single dispatch instead of thousands, which is what the serving-scale
-    throughput target needs.
+    single dispatch instead of thousands.
 
-    Note on shuffle semantics: the reference shuffles the positive-pair
-    vector and then emits num_negative_samples consecutive updates per pair
-    (BPREngine.cpp:172-174, BPREngine-inl.h:21-29); here the expanded
-    triplet stream is permuted, an equivalent-in-distribution ordering.
+    Shuffle-semantics note: the reference shuffles the positive-pair vector
+    and emits num_negative_samples consecutive updates per pair
+    (BPREngine.cpp:172-174); permuting the expanded triplet stream is an
+    equivalent-in-distribution ordering.
 
-    Negative sampling runs ONCE for the whole epoch before the step scan
-    (negatives are parameter-independent, so sampling commutes with the
-    updates — the reference samples lazily per pair only because it
-    streams). This keeps the per-step serial chain to gathers + the SGD
-    scatter; the ~log(max_degree) membership-search rounds run as one wide
-    vectorized pass over all S*B triplets instead of S sequential passes.
+    PROGRAM-SHAPE WARNING (hard-won): sampling MUST stay inside the scan
+    body. Hoisting it out — one wide presampling pass feeding the scan as a
+    4th xs array — reliably crashes this TPU runtime with a kernel fault at
+    MovieLens-20M scale, in every variant tried (fused or as a separate
+    program, with or without shuffle, merged or split scatters), while this
+    in-scan shape runs for hours. With the bitmap membership table the
+    in-scan sampler is cheap anyway: one gather per candidate round, no
+    While loop (see PosBitmap).
     """
     if shuffle:
         key, pkey = jax.random.split(key)
@@ -363,32 +432,173 @@ def _sgd_epoch_impl(
         items_flat = items_flat[perm]
         weights_flat = weights_flat[perm]
     s = users_flat.shape[0] // batch_size
-    key, skey = jax.random.split(key)
-    neg_flat = _sample_negatives_impl(
-        skey,
-        users_flat,
-        indptr,
-        set_items,
-        n_items=n_items,
-        rounds=neg_rounds,
-        max_degree=max_degree,
-        unroll=unroll,
-    )
     u_steps = users_flat.reshape(s, batch_size)
     i_steps = items_flat.reshape(s, batch_size)
-    n_steps = neg_flat.reshape(s, batch_size)
     w_steps = weights_flat.reshape(s, batch_size)
 
-    def body(params, inp):
-        u, i, n, w = inp
-        params = _sgd_update_body(
-            params, u, i, n, w, lr, user_lambda, item_lambda, bias_lambda,
+    def body(carry, inp):
+        params, key = carry
+        key, sub = jax.random.split(key)
+        u, i, w = inp
+        params = _sgd_step_body(
+            params,
+            sub,
+            u,
+            i,
+            w,
+            indptr,
+            set_items,
+            lr,
+            user_lambda,
+            item_lambda,
+            bias_lambda,
+            n_items=n_items,
             use_biases=use_biases,
+            neg_rounds=neg_rounds,
+            max_degree=max_degree,
+            unroll=unroll,
+            bitmap_words=bitmap_words,
+            wpu=wpu,
         )
-        return params, None
+        return (params, key), None
 
-    params, _ = jax.lax.scan(
-        body, params, (u_steps, i_steps, n_steps, w_steps)
+    (params, _), _ = jax.lax.scan(
+        body, (params, key), (u_steps, i_steps, w_steps)
+    )
+    return params
+
+
+_PACK_SHIFT = 15  # packed items xs: pos << 15 | neg, valid while n_items <= 32768
+
+
+def _mix_bijection(key: jax.Array, n_pow2: int, kbits: int) -> jax.Array:
+    """A random bijection on [0, 2^kbits) as pure index arithmetic.
+
+    Three odd-multiplier multiplications mod 2^k interleaved with
+    xor-shift-right mixes — every step is invertible mod 2^k (odd multiplier:
+    unit of Z/2^k; x ^ (x>>a): triangular linear map over GF(2)), so the
+    composition is a permutation. Replaces jax.random.permutation for the
+    epoch shuffle: no sort, no extra program — this runtime kernel-faults
+    when a sort-based permutation is fused with the sampler or run over
+    multiple arrays (benchmarks/bpr_crash_bisect.py), while this form
+    compiles and runs clean. Quality: an LCG-grade mix, re-keyed per epoch;
+    the reference's mt19937 shuffle (BPREngine.cpp:172-174) is likewise
+    "only" pseudorandom — SGD needs decorrelation, not cryptography.
+    """
+    mask = n_pow2 - 1
+    ks = jax.random.randint(key, (3,), 0, 1 << 30, dtype=jnp.int32)
+    x = jnp.arange(n_pow2, dtype=jnp.int32)
+    x = (x * ((ks[0] << 1) | 1)) & mask
+    x = x ^ ((x >> 7) ^ (x >> 13))
+    x = (x * ((ks[1] << 1) | 1)) & mask
+    x = x ^ (x >> (max(1, kbits // 2)))
+    x = (x * ((ks[2] << 1) | 1)) & mask
+    return x
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_items", "n_real", "neg_rounds", "shuffle", "wpu"),
+)
+def _sample_pack_impl(
+    key: jax.Array,
+    tri_ui: jax.Array,  # (N, 2) int32 [user, pos_item] rows, N a power of 2
+    bitmap_words: jax.Array,
+    n_items: int,
+    n_real: int,  # rows < n_real are real triplets, >= are padding
+    neg_rounds: int,
+    shuffle: bool,
+    wpu: int,
+):
+    """Epoch program 1: shuffle, presample negatives, pack.
+
+    - The epoch shuffle is a sort-free bijective index hash applied as ONE
+      row gather of the interleaved (user, item) stream; the padding mask
+      needs no gather at all (w = idx < n_real).
+    - Negatives are parameter-independent, so sampling commutes with the
+      SGD updates; one wide bitmap-membership pass replaces per-step
+      sampling. The sampled negative is packed into the positive-item
+      stream (pos << 15 | neg) so the scan program keeps exactly THREE xs
+      arrays.
+
+    PROGRAM-SHAPE WARNINGS (hard-won; benchmarks/bpr_crash_bisect.py):
+    this TPU runtime deterministically kernel-faults on (a) bitmap gathers
+    inside a scan body, (b) epoch scans with a 4th xs array, (c) merged
+    2B-row scatters inside the scan, (d) sort-based permutations fused
+    with the sampler; and the compiler effectively hangs when the shuffle
+    gather consumes the sampler's OUTPUT (shuffle-after-sampling). This
+    exact decomposition — input gathers first, sampling second, run as its
+    own program before the scan — compiles and runs clean. Do not "clean
+    it up" without re-running the bisect harness at MovieLens-20M scale.
+    """
+    if shuffle:
+        key, mkey = jax.random.split(key)
+        n_pow2 = tri_ui.shape[0]
+        kbits = n_pow2.bit_length() - 1
+        idx = _mix_bijection(mkey, n_pow2, kbits)
+        ui = tri_ui[idx]
+        w = (idx < n_real).astype(jnp.float32)
+    else:
+        ui = tri_ui
+        w = (
+            jnp.arange(tri_ui.shape[0], dtype=jnp.int32) < n_real
+        ).astype(jnp.float32)
+    u = ui[:, 0]
+    items = ui[:, 1]
+    bitmap = PosBitmap(bitmap_words, wpu)
+    neg = jnp.zeros(u.shape, jnp.int32)
+    valid = jnp.zeros(u.shape, bool)
+    for r in range(neg_rounds):
+        key, sub = jax.random.split(key)
+        cand = jax.random.randint(sub, u.shape, 0, n_items, dtype=jnp.int32)
+        cand_ok = ~_is_member_bitmap(bitmap, u, cand)
+        take = (~valid) & cand_ok
+        neg = jnp.where(take, cand, neg)
+        if r == neg_rounds - 1:
+            neg = jnp.where(valid | take, neg, cand)
+        valid = valid | cand_ok
+    packed = (items << _PACK_SHIFT) | neg
+    return u, packed, w
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("use_biases", "batch_size"),
+    donate_argnums=(0,),
+)
+def _sgd_epoch_scan_packed_impl(
+    params: BPRParams,
+    key: jax.Array,  # threaded through the carry to keep the known-good
+    # carry structure of the in-scan-sampling epoch
+    users_flat: jax.Array,
+    packed_flat: jax.Array,  # (S*B,) pos << 15 | neg
+    weights_flat: jax.Array,
+    lr: jax.Array,
+    user_lambda: jax.Array,
+    item_lambda: jax.Array,
+    bias_lambda: jax.Array,
+    use_biases: bool,
+    batch_size: int,
+) -> BPRParams:
+    """Epoch program 2: the minibatch-SGD scan over presampled triplets."""
+    s = users_flat.shape[0] // batch_size
+    u_steps = users_flat.reshape(s, batch_size)
+    p_steps = packed_flat.reshape(s, batch_size)
+    w_steps = weights_flat.reshape(s, batch_size)
+
+    def body(carry, inp):
+        params, key = carry
+        u, p, w = inp
+        pos = p >> _PACK_SHIFT
+        neg = p & ((1 << _PACK_SHIFT) - 1)
+        params = _sgd_update_body(
+            params, u, pos, neg, w, lr, user_lambda, item_lambda,
+            bias_lambda, use_biases=use_biases,
+        )
+        return (params, key), None
+
+    (params, _), _ = jax.lax.scan(
+        body, (params, key), (u_steps, p_steps, w_steps)
     )
     return params
 
@@ -410,7 +620,49 @@ def sgd_epoch(
     shuffle: bool,
     batch_size: int,
     unroll: bool = False,
+    bitmap: Optional[PosBitmap] = None,
+    n_real: Optional[int] = None,  # real (unpadded) triplet count
 ) -> BPRParams:
+    """One full training epoch (one or two device programs).
+
+    When a membership bitmap exists and the item space fits the packing
+    bound (n_items <= 2**_PACK_SHIFT), negatives are presampled in a
+    separate program and packed into the items stream — ~5x cheaper than
+    the in-scan CSR rejection search. Otherwise the epoch runs as the
+    single program with in-scan CSR sampling.
+    """
+    n = users_flat.shape[0]
+    if (
+        bitmap is not None
+        and n_items <= (1 << _PACK_SHIFT)
+        and n & (n - 1) == 0  # packed path needs the pow2-padded stream
+        and n % batch_size == 0
+        and n_real is not None
+    ):
+        key, skey = jax.random.split(key)
+        u, packed, w = _sample_pack_impl(
+            skey,
+            jnp.stack([users_flat, items_flat], axis=1),
+            bitmap.words,
+            n_items=n_items,
+            n_real=n_real,
+            neg_rounds=neg_rounds,
+            shuffle=shuffle,
+            wpu=bitmap.words_per_user,
+        )
+        return _sgd_epoch_scan_packed_impl(
+            params,
+            key,
+            u,
+            packed,
+            w,
+            lr,
+            user_lambda,
+            item_lambda,
+            bias_lambda,
+            use_biases=use_biases,
+            batch_size=batch_size,
+        )
     return _sgd_epoch_impl(
         params,
         key,
@@ -430,6 +682,8 @@ def sgd_epoch(
         shuffle=shuffle,
         batch_size=batch_size,
         unroll=unroll,
+        bitmap_words=None if bitmap is None else bitmap.words,
+        wpu=0 if bitmap is None else bitmap.words_per_user,
     )
 
 

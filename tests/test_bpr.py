@@ -273,3 +273,47 @@ class TestBPROptimize:
         engine.save_item_factors(str(item_p))
         # with biases: id + bias + k factors per line
         assert len(item_p.read_text().strip().split("\n")[0].split()) == 6
+
+    def test_bitmap_matches_csr_membership(self):
+        rng = np.random.default_rng(12)
+        n_users, n_items = 50, 700
+        users = rng.integers(0, n_users, 900).astype(np.int32)
+        items = rng.integers(0, n_items, 900).astype(np.int32)
+        pos_set = bpr_ops.make_pos_set(users, items, n_users)
+        bitmap = bpr_ops.make_pos_bitmap(users, items, n_users, n_items)
+        q_users = jnp.asarray(rng.integers(0, n_users, 512).astype(np.int32))
+        q_items = jnp.asarray(rng.integers(0, n_items, 512).astype(np.int32))
+        csr = np.asarray(bpr_ops._is_member(pos_set, q_users, q_items))
+        bmp = np.asarray(bpr_ops._is_member_bitmap(bitmap, q_users, q_items))
+        np.testing.assert_array_equal(csr, bmp)
+        # ground truth
+        truth = np.zeros(512, dtype=bool)
+        pairs = set(zip(users.tolist(), items.tolist()))
+        for j, (u, i) in enumerate(
+            zip(np.asarray(q_users).tolist(), np.asarray(q_items).tolist())
+        ):
+            truth[j] = (u, i) in pairs
+        np.testing.assert_array_equal(bmp, truth)
+
+    def test_sampler_bitmap_rejects_positives(self):
+        rng = np.random.default_rng(13)
+        n_users, n_items = 20, 40  # dense enough that collisions are likely
+        users = rng.integers(0, n_users, 400).astype(np.int32)
+        items = rng.integers(0, n_items, 400).astype(np.int32)
+        pos_set = bpr_ops.make_pos_set(users, items, n_users)
+        bitmap = bpr_ops.make_pos_bitmap(users, items, n_users, n_items)
+        q_users = jnp.asarray(rng.integers(0, n_users, 256).astype(np.int32))
+        neg = bpr_ops._sample_negatives_impl(
+            jax.random.key(3), q_users, pos_set.indptr, pos_set.items,
+            n_items=n_items, rounds=8, max_degree=pos_set.max_degree,
+            bitmap_words=bitmap.words, wpu=bitmap.words_per_user,
+        )
+        pairs = set(zip(users.tolist(), items.tolist()))
+        hits = sum(
+            (u, i) in pairs
+            for u, i in zip(
+                np.asarray(q_users).tolist(), np.asarray(neg).tolist()
+            )
+        )
+        # 8 rounds on a ~50%-dense matrix: residual collisions ~0.4%
+        assert hits <= 5, hits
