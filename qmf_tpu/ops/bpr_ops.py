@@ -548,9 +548,14 @@ def _sample_pack_impl(
     bitmap = PosBitmap(bitmap_words, wpu)
     neg = jnp.zeros(u.shape, jnp.int32)
     valid = jnp.zeros(u.shape, bool)
+    # all rounds' candidates from ONE threefry call (the PRNG is ~a full
+    # pass over the stream per call; batching rounds amortizes it)
+    key, sub = jax.random.split(key)
+    cands = jax.random.randint(
+        sub, (neg_rounds,) + u.shape, 0, n_items, dtype=jnp.int32
+    )
     for r in range(neg_rounds):
-        key, sub = jax.random.split(key)
-        cand = jax.random.randint(sub, u.shape, 0, n_items, dtype=jnp.int32)
+        cand = cands[r]
         cand_ok = ~_is_member_bitmap(bitmap, u, cand)
         take = (~valid) & cand_ok
         neg = jnp.where(take, cand, neg)
