@@ -113,6 +113,14 @@ class WALSEngine(Engine):
         if self.user_factors is not None or self.item_factors is not None:
             raise RuntimeError("engine was already initialized with train data")
         cfg = self.config
+        # Reject typos (and the debug-only "identity" solver) up front: the
+        # fused epoch paths call _solve_dispatch directly, bypassing
+        # solve_bucket's whitelist.
+        if cfg.solver not in (
+            "cholesky", "cholesky_matmul", "schur", "cholesky_xla", "pallas",
+            "lu",
+        ):
+            raise ValueError(f"unknown WALS solver {cfg.solver!r}")
         self.user_index = IdIndex.from_sorted_ids(dataset.user_ids)
         self.item_index = IdIndex.from_sorted_ids(dataset.item_ids)
         rows = self.user_index.lookup(dataset.user_ids)

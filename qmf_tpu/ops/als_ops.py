@@ -176,7 +176,9 @@ def _solve_dispatch(a, b, solver):
         # Exists so stage-decomposition benchmarks can isolate solve cost
         # (benchmarks/wals_micro.py); never a correct training config.
         return b + a[:, 0, :]
-    return _solve_lu(a, b)
+    if solver == "lu":
+        return _solve_lu(a, b)
+    raise ValueError(f"unknown WALS solver {solver!r}")
 
 
 def _loss_from_solution(x, b, conf_sum, lam):

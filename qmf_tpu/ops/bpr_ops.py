@@ -28,6 +28,7 @@ The update rule matches reference BPREngine.cpp:178-220 exactly:
 from __future__ import annotations
 
 import functools
+import logging
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -98,6 +99,13 @@ def make_pos_bitmap(
 ) -> PosBitmap:
     """Build the packed membership bitmap (host side, vectorized)."""
     wpu = (n_items + 31) // 32
+    # _is_member_bitmap computes u * wpu + (i >> 5) in int32; guard the
+    # word count so a raised bitmap budget cannot silently wrap the index.
+    if n_users * wpu >= 2**31:
+        raise ValueError(
+            f"bitmap word count {n_users * wpu} overflows int32 indexing; "
+            "lower bitmap_budget_mb or use the CSR membership path"
+        )
     u = np.asarray(user_idx, dtype=np.int64)
     i = np.asarray(item_idx, dtype=np.int64)
     word_idx = u * wpu + (i >> 5)
@@ -668,6 +676,28 @@ def sgd_epoch(
             use_biases=use_biases,
             batch_size=batch_size,
         )
+    # Diagnose the perf cliff: the in-scan CSR path is ~4x slower than the
+    # packed presampled path — say which precondition failed.
+    reasons = []
+    if bitmap is None:
+        reasons.append("no membership bitmap (over budget?)")
+    if n_items > (1 << _PACK_SHIFT):
+        reasons.append(f"n_items={n_items} > {1 << _PACK_SHIFT}")
+    if n & (n - 1) != 0:
+        reasons.append(f"triplet stream length {n} not a power of two")
+    if n % batch_size != 0:
+        reasons.append(f"stream length {n} % batch_size {batch_size} != 0")
+    if n_real is None:
+        reasons.append("n_real not provided")
+    logging.getLogger("qmf_tpu").info(
+        "BPR epoch falling back to in-scan CSR sampling (~4x slower than "
+        "the packed presampled path): %s", "; ".join(reasons)
+    )
+    # NOTE: bitmap_words deliberately NOT forwarded — bitmap membership
+    # gathers inside the lax.scan body deterministically kernel-fault this
+    # TPU runtime at ML-20M scale (benchmarks/bpr_crash_bisect.py, item a).
+    # The in-scan sampler uses the known-stable CSR binary search; the
+    # bitmap serves only the standalone presample/eval programs.
     return _sgd_epoch_impl(
         params,
         key,
@@ -687,8 +717,8 @@ def sgd_epoch(
         shuffle=shuffle,
         batch_size=batch_size,
         unroll=unroll,
-        bitmap_words=None if bitmap is None else bitmap.words,
-        wpu=0 if bitmap is None else bitmap.words_per_user,
+        bitmap_words=None,
+        wpu=0,
     )
 
 

@@ -27,20 +27,31 @@ _BLOCK = 16
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def _pad_spd(a: jax.Array, b: jax.Array, block: int):
-    """Pad (B,k,k)/(B,k) to a block multiple: diag(A, I) and [b, 0]."""
+def _pad_mat(a: jax.Array, block: int) -> jax.Array:
+    """Pad a (B,k,k) matrix to a block multiple as diag(A, I)."""
     k = a.shape[-1]
     pad = (-k) % block
     if pad == 0:
-        return a, b, k
+        return a
     bsz = a.shape[0]
     a_p = jnp.zeros((bsz, k + pad, k + pad), dtype=a.dtype)
     a_p = a_p.at[:, :k, :k].set(a)
     eye_idx = jnp.arange(k, k + pad)
     a_p = a_p.at[:, eye_idx, eye_idx].set(1.0)
-    b_p = jnp.zeros((bsz, k + pad), dtype=b.dtype)
-    b_p = b_p.at[:, :k].set(b)
-    return a_p, b_p, k
+    return a_p
+
+
+def _pad_vec(b: jax.Array, block: int) -> jax.Array:
+    """Pad a (B,k) vector to a block multiple with zeros."""
+    pad = (-b.shape[-1]) % block
+    if pad == 0:
+        return b
+    return jnp.pad(b, ((0, 0), (0, pad)))
+
+
+def _pad_spd(a: jax.Array, b: jax.Array, block: int):
+    """Pad (B,k,k)/(B,k) to a block multiple: diag(A, I) and [b, 0]."""
+    return _pad_mat(a, block), _pad_vec(b, block), a.shape[-1]
 
 
 def _chol_diag_block(ajj):
@@ -84,8 +95,11 @@ def _panel_solve(pan, ljj):
 def cholesky_blocked(a: jax.Array, block: int = _BLOCK) -> jax.Array:
     """Batched lower Cholesky, statically-unrolled right-looking blocks.
 
-    a: (B, k, k) SPD with k a multiple of ``block``.
+    a: (B, k, k) SPD, any k (internally padded to a block multiple with an
+    identity diagonal; the padded corner factors to I and is sliced off).
     """
+    k_in = a.shape[-1]
+    a = _pad_mat(a, block)
     k = a.shape[-1]
     cols = []
     for j in range(0, k, block):
@@ -107,11 +121,18 @@ def cholesky_blocked(a: jax.Array, block: int = _BLOCK) -> jax.Array:
                 [jnp.zeros((a.shape[0], j, block), a.dtype), ljj], axis=1
             )
         cols.append(col)
-    return jnp.concatenate(cols, axis=2)
+    return jnp.concatenate(cols, axis=2)[:, :k_in, :k_in]
 
 
 def solve_lower_blocked(l: jax.Array, b: jax.Array, block: int = _BLOCK):
-    """z with L z = b; L (B,k,k) lower, b (B,k). Static block substitution."""
+    """z with L z = b; L (B,k,k) lower, b (B,k), any k.
+
+    Static block substitution; non-block-multiple k is padded internally
+    (L extended with an identity diagonal, b with zeros).
+    """
+    k_in = l.shape[-1]
+    l = _pad_mat(l, block)
+    b = _pad_vec(b, block)
     k = l.shape[-1]
     zs = []
     for j in range(0, k, block):
@@ -128,11 +149,17 @@ def solve_lower_blocked(l: jax.Array, b: jax.Array, block: int = _BLOCK):
                 v = v - ljj[:, p, q] * z_b[q]
             z_b.append(v / ljj[:, p, p])
         zs.append(jnp.stack(z_b, axis=1))
-    return jnp.concatenate(zs, axis=1)
+    return jnp.concatenate(zs, axis=1)[:, :k_in]
 
 
 def solve_lower_t_blocked(l: jax.Array, z: jax.Array, block: int = _BLOCK):
-    """x with L^T x = z (backward substitution, static blocks)."""
+    """x with L^T x = z (backward substitution, static blocks); any k.
+
+    Non-block-multiple k is padded internally like ``solve_lower_blocked``.
+    """
+    k_in = l.shape[-1]
+    l = _pad_mat(l, block)
+    z = _pad_vec(z, block)
     k = l.shape[-1]
     nblocks = k // block
     xs = [None] * nblocks
@@ -152,7 +179,7 @@ def solve_lower_t_blocked(l: jax.Array, z: jax.Array, block: int = _BLOCK):
                 v = v - ljj[:, q, p] * x_b[q]
             x_b[p] = v / ljj[:, p, p]
         xs[jb] = jnp.stack(x_b, axis=1)
-    return jnp.concatenate(xs, axis=1)
+    return jnp.concatenate(xs, axis=1)[:, :k_in]
 
 
 def solve_spd(a: jax.Array, b: jax.Array, block: int = _BLOCK) -> jax.Array:
