@@ -24,12 +24,34 @@ def _lib_path() -> str:
     return os.path.join(os.path.dirname(__file__), "..", "_native", _LIB_NAME)
 
 
+def _try_build() -> None:
+    """Build libqmf_native.so in-tree on first use (role parity with the
+    reference's compiled loader, qmf/DatasetReader.cpp). A fresh checkout
+    has no build step, so a missing .so means "not built yet", not
+    "unavailable" — one `make` takes ~2 s. Failures (no toolchain,
+    read-only tree) degrade silently to the numpy/Python parsers."""
+    import subprocess
+
+    native_dir = os.path.join(os.path.dirname(__file__), "..", "_native")
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.abspath(native_dir)],
+            capture_output=True,
+            timeout=120,
+            check=True,
+        )
+    except Exception:
+        pass
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _load_attempted
     if _load_attempted:
         return _lib
     _load_attempted = True
     path = os.path.abspath(_lib_path())
+    if not os.path.exists(path):
+        _try_build()
     if not os.path.exists(path):
         return None
     lib = ctypes.CDLL(path)
