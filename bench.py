@@ -1,8 +1,16 @@
-"""Headline benchmark: MovieLens-20M-scale WALS epoch time (k=64) on TPU.
+"""Headline benchmarks: MovieLens-20M-scale WALS epoch time (k=64) and BPR
+real triplet updates/s (k=30, 3 negatives) on TPU.
 
-Prints ONE JSON line:
-    {"metric": "ml20m_wals_epoch_time", "value": <seconds>, "unit": "s",
+Prints one JSON line per metric:
+    {"metric": "ml20m_wals_epoch_time_k64", "value": <seconds>, "unit": "s",
      "vs_baseline": <speedup factor vs the reference>}
+    {"metric": "ml20m_bpr_updates_per_s", "value": <real updates/s>,
+     "unit": "updates/s", "vs_baseline": <speedup vs the reference>}
+
+BPR throughput counts REAL triplet updates only (padded no-op stream rows
+are excluded from the numerator); the reference baseline is the measured
+single-core updates/s of the reference `bpr` binary on the same data,
+extrapolated by a PERFECT 16x Hogwild thread scaling.
 
 Baseline methodology (see BASELINE.md): the reference publishes no numbers,
 so the reference `wals` binary is built from /root/reference via
@@ -35,6 +43,10 @@ EPOCHS = int(os.environ.get("QMF_BENCH_EPOCHS", "3"))
 # QMF_PARITY_PRECISION=default); engine default stays "highest".
 PRECISION = os.environ.get("QMF_BENCH_PRECISION", "default")
 ASSUMED_REF_THREAD_SCALING = 16.0
+BPR_NFACTORS = int(os.environ.get("QMF_BENCH_BPR_NFACTORS", "30"))
+BPR_NUM_NEG = int(os.environ.get("QMF_BENCH_BPR_NUM_NEG", "3"))
+BPR_BATCH = int(os.environ.get("QMF_BENCH_BPR_BATCH", "32768"))
+SKIP_BPR = os.environ.get("QMF_BENCH_SKIP_BPR", "") == "1"
 
 
 def _measure_reference(train_path: str) -> dict:
@@ -87,15 +99,59 @@ def _measure_reference(train_path: str) -> dict:
     }
 
 
-def _get_baseline(train_path: str) -> dict:
-    key = f"{PRESET}_k{NFACTORS}"
+def _measure_reference_bpr(train_path: str, n_triplets: int) -> dict:
+    """Build + time the reference bpr single-core on the same data.
+
+    Epoch time is isolated from dataset IO/init by the 2-epoch-minus-1-epoch
+    subtraction (same method as the WALS baseline). updates/s counts the
+    reference's real work: one SGD update per (positive, sampled negative)
+    pair, i.e. n_positives * num_negative_samples per epoch
+    (/root/reference/qmf/bpr/BPREngine.cpp:146-176).
+    """
+    build = os.path.join(REPO, "benchmarks", "reference_harness", "build.sh")
+    out = "/tmp/qmf_ref_build"
+    subprocess.run(
+        [build], check=True, capture_output=True, env={**os.environ, "OUT": out}
+    )
+    args = [
+        os.path.join(out, "bin", "bpr"),
+        f"-nfactors={BPR_NFACTORS}",
+        f"-num_negative_samples={BPR_NUM_NEG}",
+        "-num_hogwild_threads=1",
+        f"-train_dataset={train_path}",
+        "-user_factors=/tmp/ref_bpr_u.dat",
+        "-item_factors=/tmp/ref_bpr_i.dat",
+    ]
+    t0 = time.time()
+    subprocess.run(args + ["-nepochs=1"], check=True, capture_output=True)
+    total1 = time.time() - t0
+    t0 = time.time()
+    subprocess.run(args + ["-nepochs=2"], check=True, capture_output=True)
+    total2 = time.time() - t0
+    epoch_1core = max(total2 - total1, 1e-9)
+    ups_1core = n_triplets / epoch_1core
+    return {
+        "preset": PRESET,
+        "nfactors": BPR_NFACTORS,
+        "num_negative_samples": BPR_NUM_NEG,
+        "n_triplets_per_epoch": n_triplets,
+        "ref_wall_1epoch_s": total1,
+        "ref_wall_2epoch_s": total2,
+        "ref_epoch_1core_s": epoch_1core,
+        "ref_updates_per_s_1core": ups_1core,
+        "ref_updates_per_s_16core_extrapolated": ups_1core
+        * ASSUMED_REF_THREAD_SCALING,
+    }
+
+
+def _get_baseline(key: str, measure) -> dict:
     cache = {}
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             cache = json.load(f)
     if key not in cache:
         try:
-            cache[key] = _measure_reference(train_path)
+            cache[key] = measure()
             with open(BASELINE_FILE, "w") as f:
                 json.dump(cache, f, indent=2)
         except Exception as e:  # reference toolchain unavailable
@@ -174,7 +230,9 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    baseline = _get_baseline(train_path)
+    baseline = _get_baseline(
+        f"{PRESET}_k{NFACTORS}", lambda: _measure_reference(train_path)
+    )
     base_s = baseline.get("ref_epoch_16core_extrapolated_s")
     vs = (base_s / epoch_s) if base_s else None
 
@@ -185,6 +243,73 @@ def main() -> None:
                 "value": round(epoch_s, 4),
                 "unit": "s",
                 "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+    del engine
+
+    if not SKIP_BPR:
+        _bench_bpr(ds, train_path)
+
+
+def _bench_bpr(ds, train_path: str) -> None:
+    import numpy as np
+
+    from qmf_tpu.config import BPRConfig
+    from qmf_tpu.models.bpr import BPREngine
+
+    cfg = BPRConfig(
+        nepochs=1,
+        nfactors=BPR_NFACTORS,
+        num_negative_samples=BPR_NUM_NEG,
+        batch_size=BPR_BATCH,
+        init_seed=0,
+    )
+    eng = BPREngine(cfg)
+    t0 = time.time()
+    eng.init(ds)
+    path = "grouped" if eng._grouped else "stream"
+    print(f"# bpr init ({path} path): {time.time() - t0:.2f}s", file=sys.stderr)
+    n_real = int(eng._n_real_triplets)
+
+    def _sync():
+        # donated-input programs return arrays block_until_ready does NOT
+        # wait on (axon backend quirk); fetch a scalar for a true sync
+        return float(eng.params.user_factors[0, 0])
+
+    t0 = time.time()
+    eng._epoch()
+    _sync()
+    print(
+        f"# bpr warmup epoch (incl. compile): {time.time() - t0:.2f}s",
+        file=sys.stderr,
+    )
+    times = []
+    for _ in range(EPOCHS):
+        t0 = time.time()
+        eng._epoch()
+        _sync()
+        times.append(time.time() - t0)
+    epoch_s = float(np.median(times))
+    ups = n_real / epoch_s
+    print(
+        f"# bpr steady epochs: {[f'{t:.3f}' for t in times]}, "
+        f"{n_real / 1e6:.1f}M real triplets -> {ups / 1e6:.2f}M updates/s",
+        file=sys.stderr,
+    )
+
+    baseline = _get_baseline(
+        f"{PRESET}_bpr_k{BPR_NFACTORS}",
+        lambda: _measure_reference_bpr(train_path, n_real),
+    )
+    base_ups = baseline.get("ref_updates_per_s_16core_extrapolated")
+    print(
+        json.dumps(
+            {
+                "metric": f"{PRESET}_bpr_updates_per_s",
+                "value": round(ups, 1),
+                "unit": "updates/s",
+                "vs_baseline": round(ups / base_ups, 2) if base_ups else None,
             }
         )
     )

@@ -1,9 +1,10 @@
 """BPR throughput benchmark: ml20m k=30, 3 negatives (BASELINE.json config).
 
 Usage: python -u benchmarks/bpr_bench.py [batch_size ...]
-Reports triplet updates/sec per epoch against the reference Hogwild target
-(~9.8M updates/s = measured single-core 0.61M x perfect 16-thread scaling;
-see benchmarks/README.md).
+Reports REAL (unpadded) triplet updates/sec per epoch against the reference
+Hogwild target (~9.8M updates/s = measured single-core 0.61M x perfect
+16-thread scaling; see benchmarks/README.md). Padded no-op rows in the
+device stream are excluded from the numerator.
 """
 
 import sys
@@ -41,7 +42,11 @@ def main():
         bs, _, r = s.partition("x")
         specs.append((int(bs), int(r) if r else 4))
     specs = specs or [(32768, 4)]
-    users, items, values = datagen.load_npz("ml20m")
+    import os
+
+    preset = os.environ.get("QMF_BPR_PRESET", "ml20m")
+    datagen.ensure_dataset(preset)
+    users, items, values = datagen.load_npz(preset)
     ds = Dataset(users, items, values)
     for bs, rounds in specs:
         cfg = BPRConfig(
@@ -55,8 +60,12 @@ def main():
         eng = BPREngine(cfg)
         t0 = time.time()
         eng.init(ds)
-        print(f"bs={bs} r={rounds}: init {time.time()-t0:.1f}s", flush=True)
-        n_updates = int(eng._tri_users.shape[0])
+        path = "grouped" if eng._grouped else "stream"
+        print(
+            f"bs={bs} r={rounds}: init {time.time()-t0:.1f}s ({path} path)",
+            flush=True,
+        )
+        n_updates = int(eng._n_real_triplets)
 
         t0 = time.time()
         eng._epoch()

@@ -69,6 +69,10 @@ PRESETS = {
     "ml100k": dict(n_users=943, n_items=1682, target_nnz=100_000),
     "ml1m": dict(n_users=6040, n_items=3706, target_nnz=1_000_000),
     "ml20m": dict(n_users=138_493, n_items=26_744, target_nnz=20_000_000),
+    # large-catalog BPR scale check: the 200k x 100k id space puts the
+    # exact positive bitmap at 2.5 GB (>> the 1 GiB budget), forcing the
+    # blocked-Bloom membership path (ops/bpr_ops.py PosBloom)
+    "synth100k": dict(n_users=200_000, n_items=100_000, target_nnz=20_000_000),
 }
 
 

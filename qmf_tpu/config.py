@@ -116,6 +116,22 @@ class BPRConfig:
     # (measured 6x sampler speedup at ml20m). Above the budget (U*I/8
     # bytes) the sampler falls back to the scalable CSR search.
     bitmap_budget_mb: int = 1024
+    # Grouped packed epochs (one scan row per positive, negatives
+    # reconstructed from 2-bit round indices — ops/bpr_ops.py
+    # sgd_epoch_grouped). Preconditions checked by grouped_path_eligible;
+    # set False to force the legacy triplet-stream paths.
+    grouped_epoch: bool = True
+    # Capacity of the compacted collision buffer in the grouped presampler,
+    # as a fraction of the negative-slot count. Colliders beyond the cap
+    # keep their (positive) round-0 candidate — the engine logs when that
+    # happens. 1/16 covers avg_degree/n_items collision rates up to ~6%.
+    collide_cap_frac: float = 1.0 / 16.0
+    # Blocked-Bloom membership for catalogs beyond the exact-bitmap budget
+    # (ops/bpr_ops.py PosBloom): per-user block sized to
+    # next_pow2(bloom_bits_per_pos * avg_degree) bits, clamped to
+    # [256, 2^20]. 8 bits/positive => ~5% false-positive rate with the
+    # 2-hash scheme; memory is U * block/8 bytes, independent of n_items.
+    bloom_bits_per_pos: int = 8
     init_seed: int = 0
 
 

@@ -68,6 +68,8 @@ class BPREngine(Engine):
         self.test_users: Optional[np.ndarray] = None
         self.test_labels: Optional[np.ndarray] = None
         self._step_key = jax.random.PRNGKey(config.init_seed)
+        self._grouped = False
+        self._last_overflow = None
 
         if (
             metrics_engine is not None
@@ -105,19 +107,86 @@ class BPREngine(Engine):
             self._data_users, self._data_items, self.nusers
         )
         # O(1) membership bitmap for the hot sampler when the id space
-        # fits the budget (U*I/8 bytes); CSR binary search otherwise
+        # fits the budget (U*I/8 bytes). Beyond it, a blocked Bloom filter
+        # (memory independent of n_items) + compacted exact CSR verify
+        # keeps the grouped fast path at any catalog scale; plain CSR
+        # binary search remains the final fallback.
         bitmap_bytes = self.nusers * ((self.nitems + 31) // 32) * 4
+        self._pos_bloom = None
         if bitmap_bytes <= cfg.bitmap_budget_mb * (1 << 20):
             self._pos_bitmap = bpr_ops.make_pos_bitmap(
                 self._data_users, self._data_items, self.nusers, self.nitems
             )
         else:
             self._pos_bitmap = None
+            avg_deg = max(1, len(self._data_users) // max(1, self.nusers))
+            bits = 1 << max(8, (cfg.bloom_bits_per_pos * avg_deg - 1)
+                            .bit_length())
+            bits = min(bits, 1 << 20)
+            self._pos_bloom = bpr_ops.make_pos_bloom(
+                self._data_users, self._data_items, self.nusers, bits
+            )
+            log.info(
+                "BPR positive set beyond exact-bitmap budget (%d MB > %d "
+                "MB): blocked Bloom membership, %d bits/user (%.1f MB)",
+                bitmap_bytes >> 20, cfg.bitmap_budget_mb, bits,
+                self.nusers * bits / 8 / 2**20,
+            )
 
-        # device-resident triplet stream for the one-dispatch epoch:
-        # each positive pair repeated num_negative_samples times
-        # (reference iterate(), BPREngine-inl.h:21-29), padded to a batch
-        # multiple with zero weights
+        # grouped fast path: ONE stream row per positive pair; the row's
+        # num_negative_samples negatives live as 2-bit round indices
+        # (ops/bpr_ops.py sgd_epoch_grouped). Falls back to the legacy
+        # triplet stream when preconditions fail.
+        n_pos = len(self._data_users)
+        grp_bs = min(cfg.batch_size, max(1, n_pos))
+        self._grouped = cfg.grouped_epoch and bpr_ops.grouped_path_eligible(
+            self.nusers,
+            self.nitems,
+            cfg.num_negative_samples,
+            cfg.neg_resample_rounds,
+            grp_bs,
+            has_bitmap=(self._pos_bitmap is not None
+                        or self._pos_bloom is not None),
+        )
+        self._last_overflow = None
+        if self._grouped:
+            self._grp_batch = grp_bs
+            pad = (-n_pos) % grp_bs
+            gu = np.concatenate(
+                [self._data_users, np.zeros(pad, np.int32)]
+            ) if pad else self._data_users
+            gi = np.concatenate(
+                [self._data_items, np.zeros(pad, np.int32)]
+            ) if pad else self._data_items
+            self._grp_users = jnp.asarray(gu.astype(np.int32))
+            self._grp_items = jnp.asarray(gi.astype(np.int32))
+            self._n_real_pos = n_pos
+            self._n_real_triplets = n_pos * cfg.num_negative_samples
+            n_slots = len(gu) * cfg.num_negative_samples
+            cap_frac = cfg.collide_cap_frac
+            if self._pos_bloom is not None:
+                # bloom mode compacts true collisions PLUS ~5% false
+                # positives; give the buffer 2x headroom
+                cap_frac = max(cap_frac, 1.0 / 8.0)
+            self._collide_cap = max(1024, int(n_slots * cap_frac))
+            log.info(
+                "BPR grouped epoch path: %d positives (+%d pad) x %d "
+                "negatives, batch %d, collision cap %d",
+                n_pos, pad, cfg.num_negative_samples, grp_bs,
+                self._collide_cap,
+            )
+        else:
+            self._build_triplet_stream()
+
+        self._post_stream_init()
+
+    def _build_triplet_stream(self) -> None:
+        """Legacy triplet stream: each positive pair repeated
+        num_negative_samples times (reference iterate(),
+        BPREngine-inl.h:21-29), padded to a batch multiple with zero
+        weights."""
+        cfg = self.config
+        self._grouped = False
         tri_u = np.repeat(self._data_users, cfg.num_negative_samples)
         tri_i = np.repeat(self._data_items, cfg.num_negative_samples)
         self._n_real_triplets = len(tri_u)
@@ -127,8 +196,8 @@ class BPREngine(Engine):
             and self.nitems <= (1 << bpr_ops._PACK_SHIFT)
             and bs & (bs - 1) == 0
         ):
-            # packed fast path: pad to a power of two so the epoch shuffle
-            # can be a sort-free bijective index hash (bpr_ops._mix_bijection)
+            # packed path: pad to a power of two so the epoch shuffle can
+            # be a sort-free bijective index hash (bpr_ops._mix_bijection)
             n_pad = max(bs, 1 << (len(tri_u) - 1).bit_length())
             pad = n_pad - len(tri_u)
         else:
@@ -142,6 +211,7 @@ class BPREngine(Engine):
         self._tri_items = jnp.asarray(tri_i.astype(np.int32))
         self._tri_weights = jnp.asarray(w, dtype=self.dtype)
 
+    def _post_stream_init(self) -> None:
         # fixed seeded train eval set (reference BPREngine.cpp:84-87).
         # Negatives are rejection-sampled ON DEVICE (16 rounds ~= exact):
         # no 100s-of-MB host->device triplet transfer, no host loop.
@@ -160,6 +230,7 @@ class BPREngine(Engine):
         self._eval_set = (ev_u, ev_p, ev_n)
 
         # model init (reference BPREngine.cpp:89-104)
+        cfg = self.config
         self.learning_rate = cfg.init_learning_rate
         init_rng = np.random.default_rng(cfg.init_seed)
         bound = cfg.init_distribution_bound
@@ -245,6 +316,30 @@ class BPREngine(Engine):
         """One epoch = ONE device program (shuffle + sample + all steps)."""
         cfg = self.config
         self._step_key, sub = jax.random.split(self._step_key)
+        if self._grouped:
+            self.params, self._last_overflow = bpr_ops.sgd_epoch_grouped(
+                self.params,
+                sub,
+                self._grp_users,
+                self._grp_items,
+                self._pos_bitmap
+                if self._pos_bitmap is not None
+                else self._pos_bloom,
+                jnp.asarray(self.learning_rate, dtype=self.dtype),
+                jnp.asarray(cfg.user_lambda, dtype=self.dtype),
+                jnp.asarray(cfg.item_lambda, dtype=self.dtype),
+                jnp.asarray(cfg.bias_lambda, dtype=self.dtype),
+                n_items=self.nitems,
+                n_real=self._n_real_pos,
+                use_biases=cfg.use_biases,
+                num_neg=cfg.num_negative_samples,
+                neg_rounds=cfg.neg_resample_rounds,
+                shuffle=cfg.shuffle_training_set,
+                batch_size=self._grp_batch,
+                collide_cap=self._collide_cap,
+                pos_set=self._pos_set if self._pos_bloom is not None else None,
+            )
+            return
         self.params = bpr_ops.sgd_epoch(
             self.params,
             sub,
@@ -373,6 +468,16 @@ class BPREngine(Engine):
             test_loss,
             elapsed,
         )
+        if self._last_overflow is not None:
+            overflow = int(self._last_overflow)
+            self._last_overflow = None
+            if overflow > 0:
+                log.warning(
+                    "BPR presampler collision buffer overflowed by %d "
+                    "slots (those kept a colliding candidate); raise "
+                    "collide_cap_frac",
+                    overflow,
+                )
 
         me = self.metrics_engine
         if (

@@ -130,6 +130,85 @@ def _is_member_bitmap(
     return (jax.lax.shift_right_logical(word, cand & 31) & 1) == 1
 
 
+class PosBloom(NamedTuple):
+    """Blocked Bloom filter over each user's positive set.
+
+    The scale path for catalogs whose exact :class:`PosBitmap` exceeds the
+    memory budget (U*I/8 bytes; reference design ceiling is ~100M rows,
+    /root/reference/distributed/common/Common.h:17-18): memory here is
+    U * bits_per_user / 8 bytes, INDEPENDENT of n_items. Two fixed-hash
+    bit positions per item inside the user's private 2^m-bit block.
+
+    No false negatives: a "not member" answer is exact, so candidates the
+    filter passes are guaranteed true negatives. False positives (rate
+    ~(load)^2) only send extra slots to the compacted exact CSR verify in
+    :func:`_sample_rounds_bloom` — sampling semantics stay exact, cost
+    degrades gracefully with filter load.
+    """
+
+    words: jax.Array  # (U * words_per_user,) int32
+    words_per_user: int  # power of two
+
+
+def _bloom_positions(item, bits_per_user: int):
+    """Two bit positions for ``item`` in a 2^m-bit block (double hashing).
+
+    Works identically on np.uint32 and jnp.uint32 arrays — the host
+    builder and the device membership test MUST agree bit-for-bit.
+    """
+    mask = np.uint32(bits_per_user - 1)
+    h = item * np.uint32(0x9E3779B1)
+    h = h ^ (h >> np.uint32(15))
+    h = h * np.uint32(0x85EBCA77)
+    h = h ^ (h >> np.uint32(13))
+    p1 = h & mask
+    p2 = (p1 + ((h >> np.uint32(16)) | np.uint32(1))) & mask
+    return p1, p2
+
+
+def make_pos_bloom(
+    user_idx: np.ndarray,
+    item_idx: np.ndarray,
+    n_users: int,
+    bits_per_user: int,
+) -> PosBloom:
+    """Build the blocked Bloom filter (host side, vectorized)."""
+    if bits_per_user < 32 or bits_per_user & (bits_per_user - 1):
+        raise ValueError("bits_per_user must be a power of two >= 32")
+    wpu = bits_per_user // 32
+    if n_users * wpu >= 2**31:
+        raise ValueError("bloom word count overflows int32 indexing")
+    u = np.asarray(user_idx, dtype=np.int64)
+    i = np.asarray(item_idx, dtype=np.uint32)
+    p1, p2 = _bloom_positions(i, bits_per_user)
+    base = u * wpu
+    word_idx = np.concatenate([base + (p1 >> 5), base + (p2 >> 5)])
+    bit = np.concatenate(
+        [np.uint32(1) << (p1 & 31), np.uint32(1) << (p2 & 31)]
+    )
+    order = np.argsort(word_idx, kind="stable")
+    word_idx, bit = word_idx[order], bit[order]
+    words = np.zeros(n_users * wpu, dtype=np.uint32)
+    if len(word_idx):
+        starts = np.concatenate([[0], np.nonzero(np.diff(word_idx))[0] + 1])
+        words[word_idx[starts]] = np.bitwise_or.reduceat(bit, starts)
+    return PosBloom(jnp.asarray(words.view(np.int32)), wpu)
+
+
+def _is_member_bloom(
+    bloom: PosBloom, users: jax.Array, cand: jax.Array
+) -> jax.Array:
+    """MAY-be-member test: two gathers + bit tests. False positives only."""
+    bits_per_user = bloom.words_per_user * 32
+    p1, p2 = _bloom_positions(cand.astype(jnp.uint32), bits_per_user)
+    base = users * bloom.words_per_user
+    w1 = bloom.words[base + (p1 >> 5).astype(jnp.int32)]
+    w2 = bloom.words[base + (p2 >> 5).astype(jnp.int32)]
+    b1 = jax.lax.shift_right_logical(w1, (p1 & 31).astype(jnp.int32)) & 1
+    b2 = jax.lax.shift_right_logical(w2, (p2 & 31).astype(jnp.int32)) & 1
+    return (b1 & b2) == 1
+
+
 def _is_member(
     pos_set: PosSet, users: jax.Array, cand: jax.Array, unroll: bool = False
 ) -> jax.Array:
@@ -477,6 +556,443 @@ def _sgd_epoch_impl(
 
 
 _PACK_SHIFT = 15  # packed items xs: pos << 15 | neg, valid while n_items <= 32768
+
+
+def _feistel_bijection(key: jax.Array, m: int, b: int) -> jax.Array:
+    """A keyed bijection on [0, m * 2**b) as pure index arithmetic.
+
+    Generalizes :func:`_mix_bijection` (power-of-two domains only) to any
+    domain of the form m * 2**b: write x = q * 2**b + r and alternate
+    coordinate updates that are each bijective for a fixed other coordinate
+    (a Feistel-style network):
+
+        r ^= h(q) & (2**b - 1)   (XOR: bijective in r)
+        q  = (q + h(r)) mod m    (add: bijective in q; mod-by-static-m
+                                  lowers to a mul-shift, no real division)
+        r  = mix_pow2(r)         (odd-multiplier/xorshift mixer: bijective)
+
+    Three rounds give epoch-shuffle-grade mixing. This keeps the shuffled
+    stream length within 2**b of the real length (callers pick b ~ 16),
+    instead of the up-to-2x padding a pure power-of-two bijection needs.
+    Like _mix_bijection this is deliberately sort-free: sort-based
+    permutations fused with the sampler kernel-fault this TPU runtime
+    (benchmarks/bpr_crash_bisect.py).
+    """
+    n = m << b
+    mask_b = (1 << b) - 1
+    ks = jax.random.randint(key, (6,), 0, 1 << 30, dtype=jnp.int32)
+
+    def h(x, k):
+        x = x * ((k << 1) | 1)
+        x = x ^ ((x >> 7) ^ (x >> 13))
+        return x * 0x6C62_72E5 + k
+
+    x = jnp.arange(n, dtype=jnp.uint32)
+    q = (x >> b).astype(jnp.int32)
+    r = (x & mask_b).astype(jnp.int32)
+    for i in range(3):
+        r = r ^ (h(q, ks[2 * i]) & mask_b)
+        q = (q + (h(r, ks[2 * i + 1]) & 0x3FFF_FFFF)) % m
+        # in-place power-of-two mix of r
+        r = (r * ((ks[2 * i] << 1) | 1)) & mask_b
+        r = r ^ (r >> max(1, b // 2))
+    return q * (1 << b) + r
+
+
+def _cand_hash(rk: jax.Array, f: jax.Array, n_items: int) -> jax.Array:
+    """Candidate item for slot index f under round key rk (3,) int32.
+
+    A murmur-finalizer-grade 32-bit mixer, then an unbiased-enough
+    multiply-high map onto [0, n_items). MUST stay bit-identical between
+    the presampling program (membership testing) and the in-scan
+    reconstruction (_sgd_epoch_scan_grouped_impl) — the scan stores only a
+    2-bit round index per slot and recomputes the item from it.
+    """
+    # the mixer depends on int32 wraparound; x64 mode (or int64 indices
+    # from jnp.where) must not change the arithmetic width
+    f = jnp.asarray(f, jnp.int32)
+    rk = jnp.asarray(rk, jnp.int32)
+    x = f * ((rk[0] << 1) | 1)
+    x = x ^ ((x >> 7) ^ (x >> 13))
+    x = x * ((rk[1] << 1) | 1)
+    x = x ^ (x >> 11)
+    x = x * ((rk[2] << 1) | 1)
+    x = x ^ (x >> 9)
+    # mod by a STATIC n_items lowers to a mul-shift; bias ~ n_items/2^32
+    return (x.astype(jnp.uint32) % jnp.uint32(n_items)).astype(jnp.int32)
+
+
+def _sample_rounds(
+    rk: jax.Array,  # (R, 3) int32 round keys
+    users_slots: jax.Array,  # (N,) int32 user of each negative slot
+    bitmap: PosBitmap,
+    n_items: int,
+    n_rounds: int,
+    collide_cap: int,
+):
+    """Pick, per negative slot f, the first round r whose candidate
+    ``_cand_hash(rk[r], f)`` is NOT a positive of users_slots[f].
+
+    Exact-rejection semantics (reference BPREngine-inl.h:48-60) at ~1/R of
+    the membership cost: only round 0 is tested at full stream width; the
+    ~(avg_degree/n_items) fraction of colliding slots is compacted to a
+    fixed ``collide_cap``-slot buffer and rounds 1..R-1 test only those.
+    Slots colliding in every round keep the LAST round's candidate
+    (residual probability (degree/n_items)^R, matching sample_negatives).
+
+    Returns (rounds (N,) int32 in [0, R), n_overflow) where n_overflow
+    counts colliders beyond ``collide_cap`` (those keep round 0; callers
+    should log when it is nonzero — quality degrades gracefully).
+    """
+    n = users_slots.shape[0]
+    f = jnp.arange(n, dtype=jnp.int32)
+    member0 = _is_member_bitmap(
+        bitmap, users_slots, _cand_hash(rk[0], f, n_items)
+    )
+    rounds = jnp.zeros((n,), jnp.int32)
+    if n_rounds == 1:
+        return rounds, jnp.zeros((), jnp.int32)
+    (cidx,) = jnp.where(member0, size=collide_cap, fill_value=n)
+    cvalid = cidx < n
+    cf = jnp.where(cvalid, cidx, 0)
+    cu = users_slots[cf]
+    chosen = jnp.full(cidx.shape, n_rounds - 1, jnp.int32)
+    found = jnp.zeros(cidx.shape, bool)
+    for r in range(1, n_rounds):
+        m_r = _is_member_bitmap(bitmap, cu, _cand_hash(rk[r], cf, n_items))
+        take = (~found) & (~m_r)
+        chosen = jnp.where(take, r, chosen)
+        found = found | take
+    rounds = rounds.at[cidx].set(chosen, mode="drop")
+    n_overflow = jnp.maximum(
+        member0.sum(dtype=jnp.int32) - jnp.int32(collide_cap), 0
+    )
+    return rounds, n_overflow
+
+
+def _sample_rounds_bloom(
+    rk: jax.Array,  # (R, 3) int32 round keys
+    users_slots: jax.Array,  # (N,) int32 user of each negative slot
+    bloom: PosBloom,
+    pos_set: PosSet,
+    n_items: int,
+    n_rounds: int,
+    collide_cap: int,
+):
+    """:func:`_sample_rounds` for catalogs beyond the exact-bitmap budget.
+
+    Same contract and EXACT same sampling semantics, composed differently:
+    round 0 is tested at full stream width against the blocked Bloom filter
+    (2 gathers/slot, no false negatives), and only the Bloom HITS — true
+    collisions plus the ~load^2 false-positive fraction — are compacted to
+    ``collide_cap`` slots and exact-verified with the CSR binary search.
+    Bloom false positives keep their (verified-negative) round-0 candidate;
+    true members walk rounds 1..R-1 under exact CSR tests.
+    """
+    n = users_slots.shape[0]
+    f = jnp.arange(n, dtype=jnp.int32)
+    hit0 = _is_member_bloom(
+        bloom, users_slots, _cand_hash(rk[0], f, n_items)
+    )
+    rounds = jnp.zeros((n,), jnp.int32)
+    (cidx,) = jnp.where(hit0, size=collide_cap, fill_value=n)
+    cvalid = cidx < n
+    cf = jnp.where(cvalid, cidx, 0)
+    cu = users_slots[cf]
+    # exact round-0 verdict for the compacted slots
+    m0 = _is_member(pos_set, cu, _cand_hash(rk[0], cf, n_items))
+    chosen = jnp.where(m0, jnp.int32(n_rounds - 1), 0)
+    found = ~m0
+    for r in range(1, n_rounds):
+        m_r = _is_member(pos_set, cu, _cand_hash(rk[r], cf, n_items))
+        take = (~found) & (~m_r)
+        chosen = jnp.where(take, r, chosen)
+        found = found | take
+    rounds = rounds.at[cidx].set(chosen, mode="drop")
+    n_overflow = jnp.maximum(
+        hit0.sum(dtype=jnp.int32) - jnp.int32(collide_cap), 0
+    )
+    return rounds, n_overflow
+
+
+def _sample_pack_grouped_body(
+    key: jax.Array,
+    pos_u: jax.Array,  # (n_stream,) int32, n_stream = m * 2**feistel_b
+    pos_i: jax.Array,  # (n_stream,) int32
+    bitmap_words: jax.Array,  # exact-bitmap OR bloom words, per `membership`
+    n_items: int,
+    n_real: int,  # rows < n_real are real positive pairs, >= are padding
+    num_neg: int,
+    n_rounds: int,
+    shuffle: bool,
+    wpu: int,
+    u_shift: int,
+    feistel_b: int,
+    collide_cap: int,
+    membership: str = "bitmap",
+    indptr: Optional[jax.Array] = None,  # CSR verify arrays (bloom mode)
+    csr_items: Optional[jax.Array] = None,
+    max_degree: int = 0,
+):
+    """Grouped-epoch program 1: shuffle positives, presample ALL negatives,
+    encode each row as (u_enc, pos).
+
+    The row's num_neg negatives are NOT stored as items: slot f's candidate
+    under round r is the pure function _cand_hash(rk[r], f), so storing the
+    chosen 2-bit round index per slot is enough for the scan body to
+    reconstruct the item with VPU arithmetic (no membership gathers in the
+    scan — the known TPU-runtime fault shape). Encoding:
+
+        u_enc = (u << u_shift) | round_j bits (2 per negative) << 1 | valid
+
+    This keeps the scan at TWO wide xs arrays, removes the pos<<15|neg
+    item-count ceiling (any int32 item id works), and cuts the shuffled
+    stream from triplet-level to positive-level width.
+    """
+    n_stream = pos_u.shape[0]
+    key, rkey = jax.random.split(key)
+    rk = jax.random.randint(rkey, (n_rounds, 3), 0, 1 << 30, dtype=jnp.int32)
+    if shuffle:
+        key, mkey = jax.random.split(key)
+        idx = _feistel_bijection(mkey, n_stream >> feistel_b, feistel_b)
+        u = pos_u[idx]
+        p = pos_i[idx]
+        valid = idx < n_real
+    else:
+        u = pos_u
+        p = pos_i
+        valid = jnp.arange(n_stream, dtype=jnp.int32) < n_real
+    # negative slot index f = row * num_neg + j; users_slots[f] is the
+    # user of slot f, so _sample_rounds's f = arange(N_slots) lines up with
+    # the scan body's (t * batch + lane) * num_neg + j
+    users_slots = jnp.repeat(u, num_neg)
+    if membership == "bloom":
+        rounds, n_overflow = _sample_rounds_bloom(
+            rk,
+            users_slots,
+            PosBloom(bitmap_words, wpu),
+            PosSet(indptr, csr_items, max_degree),
+            n_items,
+            n_rounds,
+            collide_cap,
+        )
+    else:
+        rounds, n_overflow = _sample_rounds(
+            rk,
+            users_slots,
+            PosBitmap(bitmap_words, wpu),
+            n_items,
+            n_rounds,
+            collide_cap,
+        )
+    rounds_row = rounds.reshape(n_stream, num_neg)
+    enc = (u << u_shift) | valid.astype(jnp.int32)
+    for j in range(num_neg):
+        enc = enc | (rounds_row[:, j] << (1 + 2 * j))
+    return enc, p, rk, n_overflow
+
+
+_GROUPED_PACK_STATICS = (
+    "n_items", "n_real", "num_neg", "n_rounds", "shuffle", "wpu",
+    "u_shift", "feistel_b", "collide_cap", "membership", "max_degree",
+)
+_sample_pack_grouped_impl = functools.partial(
+    jax.jit, static_argnames=_GROUPED_PACK_STATICS
+)(_sample_pack_grouped_body)
+
+
+def _sgd_epoch_scan_grouped_body(
+    params: BPRParams,
+    u_enc: jax.Array,  # (S*B,) int32: user + per-slot round bits + valid
+    pos: jax.Array,  # (S*B,) int32 positive items
+    rk: jax.Array,  # (R, 3) int32 round keys (shared with presampling)
+    lr: jax.Array,
+    user_lambda: jax.Array,
+    item_lambda: jax.Array,
+    bias_lambda: jax.Array,
+    use_biases: bool,
+    batch_size: int,
+    num_neg: int,
+    n_items: int,
+    n_rounds: int,
+    u_shift: int,
+) -> BPRParams:
+    """Grouped-epoch program 2: minibatch-SGD scan, one row per POSITIVE.
+
+    Compared to the triplet-stream scan this shares the user/positive
+    gathers and the user/positive scatters across the row's num_neg
+    negatives: 2 + num_neg gathers and 2 + num_neg B-row scatters per step
+    instead of 3 * num_neg each. Negative items are reconstructed from the
+    2-bit round indices via _cand_hash (pure VPU ops). Update semantics are
+    identical to num_neg consecutive triplet rows of the ungrouped scan:
+    every gradient reads pre-batch parameters; duplicate-row contributions
+    (including the num_neg-fold regularization pull on u and pos) sum.
+    """
+    s = u_enc.shape[0] // batch_size
+    ue_steps = u_enc.reshape(s, batch_size)
+    p_steps = pos.reshape(s, batch_size)
+    t_steps = jnp.arange(s, dtype=jnp.int32)
+    lane = jnp.arange(batch_size, dtype=jnp.int32)
+
+    def body(params, inp):
+        ue, p, t = inp
+        w = (ue & 1).astype(params.user_factors.dtype)
+        u = jax.lax.shift_right_logical(ue, jnp.int32(u_shift))
+        wcol = w[:, None]
+        pu = params.user_factors[u]
+        qp = params.item_factors[p]
+        base_f = (t * batch_size + lane) * num_neg
+        x_p = jnp.einsum("bk,bk->b", pu, qp)
+        negs, es = [], []
+        for j in range(num_neg):
+            r_j = jax.lax.shift_right_logical(ue, jnp.int32(1 + 2 * j)) & 3
+            f_j = base_f + j
+            neg_j = _cand_hash(rk[0], f_j, n_items)
+            for r in range(1, n_rounds):
+                neg_j = jnp.where(
+                    r_j == r, _cand_hash(rk[r], f_j, n_items), neg_j
+                )
+            qn_j = params.item_factors[neg_j]
+            d_j = x_p - jnp.einsum("bk,bk->b", pu, qn_j)
+            if use_biases:
+                d_j = d_j + params.item_biases[p] - params.item_biases[neg_j]
+            e_j = (1.0 / (1.0 + jnp.exp(d_j))) * w
+            negs.append((neg_j, qn_j))
+            es.append(e_j)
+        # user update: sum of the num_neg triplet gradients
+        du = -num_neg * user_lambda * pu * wcol
+        for e_j, (_, qn_j) in zip(es, negs):
+            du = du + e_j[:, None] * (qp - qn_j)
+        uf = params.user_factors.at[u].add(lr * du)
+        e_sum = sum(es)
+        dp = e_sum[:, None] * pu - num_neg * item_lambda * qp * wcol
+        itf = params.item_factors.at[p].add(lr * dp)
+        # num_neg sequential B-row scatters (the known-stable shape; a
+        # merged wide scatter kernel-faults this runtime — see
+        # _sgd_update_body's NOTE)
+        for e_j, (neg_j, qn_j) in zip(es, negs):
+            itf = itf.at[neg_j].add(
+                lr * (-e_j[:, None] * pu - item_lambda * qn_j * wcol)
+            )
+        if use_biases:
+            bp = params.item_biases[p]
+            ib = params.item_biases.at[p].add(
+                lr * (e_sum - num_neg * bias_lambda * bp * w)
+            )
+            for e_j, (neg_j, _) in zip(es, negs):
+                bn = params.item_biases[neg_j]
+                ib = ib.at[neg_j].add(lr * (-e_j - bias_lambda * bn * w))
+        else:
+            ib = params.item_biases
+        return BPRParams(uf, itf, ib), None
+
+    params, _ = jax.lax.scan(body, params, (ue_steps, p_steps, t_steps))
+    return params
+
+
+_GROUPED_SCAN_STATICS = (
+    "use_biases", "batch_size", "num_neg", "n_items", "n_rounds", "u_shift",
+)
+_sgd_epoch_scan_grouped_impl = functools.partial(
+    jax.jit,
+    static_argnames=_GROUPED_SCAN_STATICS,
+    donate_argnums=(0,),
+)(_sgd_epoch_scan_grouped_body)
+
+
+def grouped_path_eligible(
+    n_users: int,
+    n_items: int,
+    num_neg: int,
+    n_rounds: int,
+    batch_size: int,
+    has_bitmap: bool,
+) -> bool:
+    """Preconditions of the grouped packed epoch (see sgd_epoch_grouped)."""
+    u_shift = 1 + 2 * num_neg
+    return (
+        has_bitmap
+        and 1 <= num_neg
+        and n_rounds <= 4  # round index must fit 2 bits
+        and batch_size >= 1
+        and (batch_size & (batch_size - 1)) == 0  # stream = m * batch_size
+        and n_users <= (1 << (31 - u_shift))
+        and n_items < (1 << 31)
+    )
+
+
+def sgd_epoch_grouped(
+    params: BPRParams,
+    key: jax.Array,
+    pos_u: jax.Array,  # (n_stream,) int32 padded positive-pair stream
+    pos_i: jax.Array,
+    bitmap,  # PosBitmap (exact) or PosBloom (needs pos_set for verify)
+    lr: jax.Array,
+    user_lambda: jax.Array,
+    item_lambda: jax.Array,
+    bias_lambda: jax.Array,
+    n_items: int,
+    n_real: int,
+    use_biases: bool,
+    num_neg: int,
+    neg_rounds: int,
+    shuffle: bool,
+    batch_size: int,
+    collide_cap: int,
+    pos_set: Optional[PosSet] = None,
+):
+    """One grouped training epoch: presample+encode, then the grouped scan.
+
+    Returns (params, n_overflow) where n_overflow is a DEVICE scalar of
+    collision-buffer overflows (callers should log when nonzero, reading it
+    at a point that already syncs).
+
+    Caller contract: pos_u/pos_i are padded to a multiple of batch_size
+    (a power of two), n_real marks the real prefix length, and
+    grouped_path_eligible(...) returned True for this configuration.
+    """
+    u_shift = 1 + 2 * num_neg
+    key, skey = jax.random.split(key)
+    feistel_b = batch_size.bit_length() - 1
+    is_bloom = isinstance(bitmap, PosBloom)
+    if is_bloom and pos_set is None:
+        raise ValueError("bloom membership requires pos_set for exact verify")
+    enc, p, rk, n_overflow = _sample_pack_grouped_impl(
+        skey,
+        pos_u,
+        pos_i,
+        bitmap.words,
+        n_items=n_items,
+        n_real=n_real,
+        num_neg=num_neg,
+        n_rounds=neg_rounds,
+        shuffle=shuffle,
+        wpu=bitmap.words_per_user,
+        u_shift=u_shift,
+        feistel_b=feistel_b,
+        collide_cap=collide_cap,
+        membership="bloom" if is_bloom else "bitmap",
+        indptr=pos_set.indptr if is_bloom else None,
+        csr_items=pos_set.items if is_bloom else None,
+        max_degree=pos_set.max_degree if is_bloom else 0,
+    )
+    new_params = _sgd_epoch_scan_grouped_impl(
+        params,
+        enc,
+        p,
+        rk,
+        lr,
+        user_lambda,
+        item_lambda,
+        bias_lambda,
+        use_biases=use_biases,
+        batch_size=batch_size,
+        num_neg=num_neg,
+        n_items=n_items,
+        n_rounds=neg_rounds,
+        u_shift=u_shift,
+    )
+    return new_params, n_overflow
 
 
 def _mix_bijection(key: jax.Array, n_pow2: int, kbits: int) -> jax.Array:

@@ -79,6 +79,22 @@ class TestShardedBPR:
             BPRConfig(nepochs=1, nfactors=4, batch_size=64), n_devices=8
         )
         eng.init(ds)
+        if eng._grouped:
+            assert len(eng._grp_users.sharding.device_set) == 8
+        else:
+            assert len(eng._tri_users.sharding.device_set) == 8
+        eng.optimize()
+        assert np.isfinite(np.asarray(eng.params.user_factors)).all()
+
+    def test_legacy_stream_batch_sharded(self):
+        """Force the legacy triplet-stream path and check its sharding."""
+        ds = self._dataset()
+        eng = ShardedBPREngine(
+            BPRConfig(nepochs=1, nfactors=4, batch_size=64, grouped_epoch=False),
+            n_devices=8,
+        )
+        eng.init(ds)
+        assert not eng._grouped
         assert len(eng._tri_users.sharding.device_set) == 8
         eng.optimize()
         assert np.isfinite(np.asarray(eng.params.user_factors)).all()
