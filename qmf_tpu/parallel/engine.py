@@ -48,8 +48,11 @@ class ShardedWALSEngine(WALSEngine):
             make_sharded_width_class_solve,
         )
 
+        from qmf_tpu.parallel.sharded_wals import make_sharded_train_epochs
+
         self._solve_fn = make_sharded_width_class_solve(self.mesh, self.axis_name)
         self._train_epoch_fn = make_sharded_train_epoch(self.mesh, self.axis_name)
+        self._train_epochs_fn = make_sharded_train_epochs(self.mesh, self.axis_name)
 
     def init(self, dataset: Dataset) -> None:
         if self.user_factors is not None or self.item_factors is not None:
@@ -115,11 +118,34 @@ class ShardedWALSEngine(WALSEngine):
             jnp.zeros((self._pad_users, cfg.nfactors), dtype=self.dtype), row
         )
 
-    def _can_fuse_run(self) -> bool:
-        # the multi-epoch single-program path has no explicit shardings yet;
-        # the sharded engine keeps its per-epoch fused program (explicit
-        # out_shardings, factors row-sharded between epochs)
-        return False
+    def _fused_run(self, nepochs):
+        """Whole run as ONE sharded device program: lax.scan over epochs
+        with explicit row-sharded factor outputs, so multi-chip
+        small-dataset runs get the same one-dispatch-per-run behavior as
+        single-chip (factors never leave their shards between epochs)."""
+        cfg = self.config
+        ub, ib = self._user_buckets, self._item_buckets
+        u_new, v_new, losses = self._train_epochs_fn(
+            self.user_factors,
+            self.item_factors,
+            ub.arrays(),
+            ib.arrays(),
+            jnp.asarray(cfg.confidence_weight, dtype=self.dtype),
+            jnp.asarray(cfg.regularization_lambda, dtype=self.dtype),
+            solver=cfg.solver,
+            precision=cfg.matmul_precision,
+            n_users=self._pad_users,
+            n_items=self._pad_items,
+            user_chunks=tuple(self._user_chunks),
+            item_chunks=tuple(self._item_chunks),
+            nepochs=nepochs,
+            class_solve=cfg.class_solve,
+        )
+        self.user_factors = u_new
+        self.item_factors = v_new
+        return [
+            float(l) / self.nusers / self.nitems for l in np.asarray(losses)
+        ]
 
     def _place_factors(self) -> None:
         row = NamedSharding(self.mesh, P(self.axis_name, None))

