@@ -139,7 +139,7 @@ class BPREngine(Engine):
         # triplet stream when preconditions fail.
         n_pos = len(self._data_users)
         grp_bs = min(cfg.batch_size, max(1, n_pos))
-        self._grouped = cfg.grouped_epoch and bpr_ops.grouped_path_eligible(
+        reject = bpr_ops.grouped_path_reject_reason(
             self.nusers,
             self.nitems,
             cfg.num_negative_samples,
@@ -148,6 +148,14 @@ class BPREngine(Engine):
             has_bitmap=(self._pos_bitmap is not None
                         or self._pos_bloom is not None),
         )
+        if not cfg.grouped_epoch:
+            reject = "disabled by config (grouped_epoch=False)"
+        if reject is not None:
+            log.info(
+                "BPR grouped fast path unavailable (%s): falling back to "
+                "the triplet-stream epoch (~2x slower)", reject,
+            )
+        self._grouped = reject is None
         self._last_overflow = None
         if self._grouped:
             self._grp_batch = grp_bs
