@@ -1,24 +1,40 @@
-"""Pallas TPU kernel: batched SPD Cholesky factor + solve, fused.
+"""Pallas TPU kernel: batched SPD Cholesky factor + solve, fused single-pass.
 
 The WALS inner loop solves ~165k independent k x k SPD systems per epoch
 (the Hu-Koren normal equations, reference qmf/wals/WALSEngine.cpp:266-310 —
 there one LAPACK ``dsysv_`` call per row). The XLA formulation in
-qmf_tpu/ops/linalg.py unrolls a blocked Cholesky into ~1-2k small HLO ops
-per scan step; each op carries XLA dispatch/VPU-latency overhead and the
-factorization's serial dependency chain makes that overhead the epoch's
-dominant cost at MovieLens-20M scale.
+qmf_tpu/ops/linalg.py lowers the blocked factorization to ~20 HLO passes
+whose intermediates round-trip through HBM: at ML-20M scale (141k systems of
+64x64 = 2.3 GB of A matrices) the solve is bandwidth-bound at many multiples
+of the minimum traffic.
 
-This kernel runs the whole factor+solve as ONE fused Pallas program so the
-serial chain executes as straight-line VPU code with instruction-level
-latencies instead of per-HLO overheads.
+This kernel runs the whole factor+solve as ONE fused Pallas program: each
+batch tile of A is DMA'd to VMEM once, factored and solved entirely on-chip,
+and only x (k values per system) is written back — the theoretical-minimum
+HBM traffic of one read of A.
 
-Layout: the batch lives in the LAST (lane) dimension — A is (k, k, B) and
-b/x are (k, B) — so every scalar step of the factorization is a full-width
-vector op over the batch with unit-stride lane access. k must be a multiple
-of the 8-row block (callers pad with an identity diagonal; padded
-coordinates solve to zero). The factorization overwrites the A tile in VMEM
-(right-looking, L stored in the lower triangle; the upper triangle holds
-garbage that is never read).
+Layout: the batch lives in the LAST (lane) dimension and A is stored
+COLUMN-major per system — ``a_t[c, r, lane] = A[r, c]``. Because the
+trailing Schur complement of a right-looking Cholesky stays symmetric,
+column p of the updated A equals row p, so the factorization only ever
+touches contiguous (k, TB) slabs ``a_t[p]`` (no strided column gathers):
+
+    for p in 0..k-1 (unrolled, right-looking, rank-1 updates):
+        d        = sqrt(a_t[p, p])               # (TB,) diagonal lanes
+        col      = a_t[p] * (1/d)  masked rows>p # L[:, p], zeros elsewhere
+        a_t[p]   = col
+        a_t[m:, m:] -= col[m:, None] * col[None, m:]   # m = 16*(p//16)
+
+The 16-aligned static slice bounds keep the trailing update at 4 distinct
+op shapes (full work would be 2.1x more VPU element-ops) while every slice
+offset stays tile-aligned. Zero-masked columns make the full-width updates
+exact: lanes c <= p contribute col[c] = 0, so already-written L slabs and
+the strict upper triangle are never perturbed. The diagonal is carried in
+registers as 1/d (never stored), which lets the forward/backward
+substitutions run as full-width masked sweeps too.
+
+k must be a multiple of 8 (callers pad with an identity diagonal; padded
+coordinates solve to zero — see :func:`solve_spd`).
 """
 
 from __future__ import annotations
@@ -30,92 +46,63 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_NB = 8  # Cholesky block (rows per panel); k % _NB == 0 required
+_NB = 8  # k padding granularity (f32 sublane tile)
+_SCHUR_ALIGN = 16  # static slice alignment of the trailing update
 
 
 def _chol_solve_kernel(a_ref, b_ref, x_ref):
-    """Factor A=LL^T in place and solve L L^T x = b for one batch tile.
+    """Factor A = L L^T in place and solve L L^T x = b for one batch tile.
 
-    a_ref: (k, k, TB) — overwritten with L in the lower triangle.
+    a_ref: (k, k, TB) column-major-per-system (a_ref[c, r, :] = A[r, c]);
+           overwritten with L stored by columns (slab p = L[:, p], zeros at
+           rows <= p; diagonal kept in registers).
     b_ref: (k, TB), x_ref: (k, TB).
     """
     k = a_ref.shape[0]
-    nblocks = k // _NB
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
 
-    inv_diag = [None] * k  # 1/L[p,p] vectors, reused by the substitutions
+    inv_diag = [None] * k  # 1/L[p,p] (TB,) vectors, reused by the subs
 
-    for jb in range(nblocks):
-        j = jb * _NB
-        # -- diagonal block: dense unblocked Cholesky of A[j:j+8, j:j+8] --
-        for p in range(_NB):
-            s = a_ref[j + p, j + p, :]
-            for q in range(p):
-                lpq = a_ref[j + p, j + q, :]
-                s = s - lpq * lpq
-            d = jnp.sqrt(s)
-            a_ref[j + p, j + p, :] = d
-            inv = 1.0 / d
-            inv_diag[j + p] = inv
-            for r in range(p + 1, _NB):
-                s2 = a_ref[j + r, j + p, :]
-                for q in range(p):
-                    s2 = s2 - a_ref[j + r, j + q, :] * a_ref[j + p, j + q, :]
-                a_ref[j + r, j + p, :] = s2 * inv
-        if j + _NB == k:
-            break
-        # -- panel solve: X L_jj^T = A[j+8:, j:j+8]  (column sweep) --
-        for c in range(_NB):
-            v = a_ref[j + _NB :, j + c, :]
-            for q in range(c):
-                v = v - a_ref[j + _NB :, j + q, :] * a_ref[j + c, j + q, :][None]
-            a_ref[j + _NB :, j + c, :] = v * inv_diag[j + c][None]
-        # -- trailing Schur update: A22 -= X X^T, in 8-column strips so VMEM
-        #    temporaries stay (m, 8, TB)-sized (a full (m, m, TB) update
-        #    overflows scoped VMEM). Junk written above the diagonal is
-        #    never read. --
-        for cb in range(jb + 1, nblocks):
-            c = cb * _NB
-            acc = a_ref[j + _NB :, c : c + _NB, :]
-            for q in range(_NB):
-                acc = acc - (
-                    a_ref[j + _NB :, j + q, :][:, None, :]
-                    * a_ref[c : c + _NB, j + q, :][None, :, :]
-                )
-            a_ref[j + _NB :, c : c + _NB, :] = acc
+    # -- right-looking rank-1 Cholesky, columns unrolled --
+    for p in range(k):
+        d = jnp.sqrt(a_ref[p, p, :])
+        inv = 1.0 / d
+        inv_diag[p] = inv
+        col = jnp.where(row_ids > p, a_ref[p] * inv[None, :], 0.0)
+        a_ref[p] = col
+        if p + 1 < k:
+            m = _SCHUR_ALIGN * (p // _SCHUR_ALIGN)
+            sub = col[m:]
+            a_ref[m:, m:, :] = a_ref[m:, m:, :] - sub[:, None, :] * sub[None]
 
-    # -- forward substitution: L z = b (z kept in x_ref) --
-    for jb in range(nblocks):
-        j = jb * _NB
-        rhs = b_ref[j : j + _NB, :]
-        for q in range(j):  # contributions from all solved rows
-            rhs = rhs - a_ref[j : j + _NB, q, :] * x_ref[q, :][None]
-        for p in range(_NB):
-            v = rhs[p, :]
-            for q in range(p):
-                v = v - a_ref[j + p, j + q, :] * x_ref[j + q, :]
-            x_ref[j + p, :] = v * inv_diag[j + p]
+    # -- forward substitution: L z = b (z accumulated in x_ref) --
+    x_ref[...] = b_ref[...]
+    for p in range(k):
+        xp = x_ref[p, :] * inv_diag[p]
+        # slab p is zero at rows <= p, so x[<=p] is untouched by the sweep
+        x_ref[...] = x_ref[...] - a_ref[p] * xp[None, :]
+        x_ref[p, :] = xp
 
     # -- backward substitution: L^T x = z (in place over x_ref) --
-    for jb in range(nblocks - 1, -1, -1):
-        j = jb * _NB
-        rhs = x_ref[j : j + _NB, :]
-        for q in range(j + _NB, k):  # rows below this block
-            rhs = rhs - a_ref[q, j : j + _NB, :] * x_ref[q, :][None]
-        for p in range(_NB - 1, -1, -1):
-            v = rhs[p, :]
-            for q in range(p + 1, _NB):
-                v = v - a_ref[j + q, j + p, :] * x_ref[j + q, :]
-            x_ref[j + p, :] = v * inv_diag[j + p]
+    # At step p rows > p of x_ref hold final x, rows <= p still hold z;
+    # slab p's zero rows <= p make the reduction exactly sum_{r>p} L[r,p] x[r].
+    for p in range(k - 1, -1, -1):
+        s = jnp.sum(a_ref[p] * x_ref[...], axis=0)
+        x_ref[p, :] = (x_ref[p, :] - s) * inv_diag[p]
 
 
 @functools.partial(jax.jit, static_argnames=("tb", "interpret"))
 def cholesky_solve_t(
-    a_t: jax.Array,  # (k, k, B) SPD batch, batch-last layout
+    a_t: jax.Array,  # (k, k, B) SPD batch, batch-last (symmetric: layout-free)
     b_t: jax.Array,  # (k, B)
-    tb: int = 256,
+    tb: int = 512,
     interpret: bool = False,
 ) -> jax.Array:  # (k, B)
-    """Fused Cholesky factor+solve over batch tiles of ``tb`` lanes."""
+    """Fused Cholesky factor+solve over batch tiles of ``tb`` lanes.
+
+    A is symmetric, so the (k, k, B) operand serves directly as the
+    column-major-per-system layout the kernel wants.
+    """
     k, _, bsz = a_t.shape
     if k % _NB:
         raise ValueError(f"k={k} must be a multiple of {_NB} (pad with I)")
@@ -131,16 +118,21 @@ def cholesky_solve_t(
         ],
         out_specs=pl.BlockSpec((k, tb), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((k, bsz), a_t.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=bsz * (k * k * k // 3 + 2 * k * k),
+            bytes_accessed=(k * k + 2 * k) * bsz * 4,
+            transcendentals=bsz * k,
+        ),
         interpret=interpret,
     )(a_t, b_t)
 
 
 def _pick_tile(k: int) -> int:
-    """Batch-lane tile size: as wide as VMEM allows (double-buffered A tile
-    budget ~12 MB), capped at 256 lanes."""
-    budget = 12 * 1024 * 1024
-    tb = 256
-    while tb > 8 and tb * k * k * 4 * 2 > budget:
+    """Batch-lane tile: A tile (double-buffered) + the (k, k, TB) Schur
+    temporary within a ~10 MB VMEM budget, capped at 512 lanes."""
+    budget = 10 * 1024 * 1024
+    tb = 512
+    while tb > 8 and tb * k * k * 4 * 3 > budget:
         tb //= 2
     return tb
 
