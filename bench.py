@@ -43,6 +43,9 @@ EPOCHS = int(os.environ.get("QMF_BENCH_EPOCHS", "3"))
 # QMF_PARITY_PRECISION=default); engine default stays "highest".
 PRECISION = os.environ.get("QMF_BENCH_PRECISION", "default")
 ASSUMED_REF_THREAD_SCALING = 16.0
+# the shared vCPU has variable steal; baseline subtractions take the median
+# of this many independent (1-epoch, 2-epoch) run pairs
+BASELINE_REPS = int(os.environ.get("QMF_BENCH_BASELINE_REPS", "3"))
 BPR_NFACTORS = int(os.environ.get("QMF_BENCH_BPR_NFACTORS", "30"))
 BPR_NUM_NEG = int(os.environ.get("QMF_BENCH_BPR_NUM_NEG", "3"))
 BPR_BATCH = int(os.environ.get("QMF_BENCH_BPR_BATCH", "32768"))
@@ -54,49 +57,44 @@ def _measure_reference(train_path: str) -> dict:
     build = os.path.join(REPO, "benchmarks", "reference_harness", "build.sh")
     out = "/tmp/qmf_ref_build"
     subprocess.run([build], check=True, capture_output=True, env={**os.environ, "OUT": out})
-    t0 = time.time()
-    subprocess.run(
-        [
-            os.path.join(out, "bin", "wals"),
-            "-nepochs=1",
-            f"-nfactors={NFACTORS}",
-            "-nthreads=1",
-            f"-train_dataset={train_path}",
-            "-user_factors=/tmp/ref_bench_u.dat",
-            "-item_factors=/tmp/ref_bench_i.dat",
-        ],
-        check=True,
-        capture_output=True,
-    )
-    total = time.time() - t0
-    # isolate epoch time from IO by timing a 0-epoch-equivalent? The
-    # reference has no such mode; subtract a measured load-only estimate
-    # from a 2-epoch run instead: epoch = t(2 epochs) - t(1 epoch).
-    t1 = time.time()
-    subprocess.run(
-        [
-            os.path.join(out, "bin", "wals"),
-            "-nepochs=2",
-            f"-nfactors={NFACTORS}",
-            "-nthreads=1",
-            f"-train_dataset={train_path}",
-            "-user_factors=/tmp/ref_bench_u.dat",
-            "-item_factors=/tmp/ref_bench_i.dat",
-        ],
-        check=True,
-        capture_output=True,
-    )
-    total2 = time.time() - t1
-    epoch_1core = max(total2 - total, 1e-9)
+    args = [
+        os.path.join(out, "bin", "wals"),
+        f"-nfactors={NFACTORS}",
+        "-nthreads=1",
+        f"-train_dataset={train_path}",
+        "-user_factors=/tmp/ref_bench_u.dat",
+        "-item_factors=/tmp/ref_bench_i.dat",
+    ]
+    # isolate epoch time from IO: epoch = t(2 epochs) - t(1 epoch). The
+    # shared vCPU's load varies run to run, so take the median of
+    # BASELINE_REPS independent subtractions.
+    w1, w2 = _timed_reps(args)
+    epoch_1core = max(w2 - w1, 1e-9)
     return {
         "preset": PRESET,
         "nfactors": NFACTORS,
-        "ref_wall_1epoch_s": total,
-        "ref_wall_2epoch_s": total2,
+        "reps": BASELINE_REPS,
+        "ref_wall_1epoch_s": w1,
+        "ref_wall_2epoch_s": w2,
         "ref_epoch_1core_s": epoch_1core,
         "ref_epoch_16core_extrapolated_s": epoch_1core
         / ASSUMED_REF_THREAD_SCALING,
     }
+
+
+def _timed_reps(args):
+    """Median wall time of 1-epoch and 2-epoch runs over BASELINE_REPS."""
+    import statistics
+
+    w1s, w2s = [], []
+    for _ in range(BASELINE_REPS):
+        t0 = time.time()
+        subprocess.run(args + ["-nepochs=1"], check=True, capture_output=True)
+        w1s.append(time.time() - t0)
+        t0 = time.time()
+        subprocess.run(args + ["-nepochs=2"], check=True, capture_output=True)
+        w2s.append(time.time() - t0)
+    return statistics.median(w1s), statistics.median(w2s)
 
 
 def _measure_reference_bpr(train_path: str, n_triplets: int) -> dict:
@@ -122,21 +120,17 @@ def _measure_reference_bpr(train_path: str, n_triplets: int) -> dict:
         "-user_factors=/tmp/ref_bpr_u.dat",
         "-item_factors=/tmp/ref_bpr_i.dat",
     ]
-    t0 = time.time()
-    subprocess.run(args + ["-nepochs=1"], check=True, capture_output=True)
-    total1 = time.time() - t0
-    t0 = time.time()
-    subprocess.run(args + ["-nepochs=2"], check=True, capture_output=True)
-    total2 = time.time() - t0
-    epoch_1core = max(total2 - total1, 1e-9)
+    w1, w2 = _timed_reps(args)
+    epoch_1core = max(w2 - w1, 1e-9)
     ups_1core = n_triplets / epoch_1core
     return {
         "preset": PRESET,
         "nfactors": BPR_NFACTORS,
         "num_negative_samples": BPR_NUM_NEG,
         "n_triplets_per_epoch": n_triplets,
-        "ref_wall_1epoch_s": total1,
-        "ref_wall_2epoch_s": total2,
+        "reps": BASELINE_REPS,
+        "ref_wall_1epoch_s": w1,
+        "ref_wall_2epoch_s": w2,
         "ref_epoch_1core_s": epoch_1core,
         "ref_updates_per_s_1core": ups_1core,
         "ref_updates_per_s_16core_extrapolated": ups_1core
