@@ -126,6 +126,12 @@ class BPRConfig:
     # keep their (positive) round-0 candidate — the engine logs when that
     # happens. 1/16 covers avg_degree/n_items collision rates up to ~6%.
     collide_cap_frac: float = 1.0 / 16.0
+    # Merge the grouped scan's item-side scatter-adds (positive +
+    # num_negative_samples updates) into one wide scatter per step.
+    # Semantically identical (scatter-add sums duplicates); off by default
+    # until validated on the target runtime (a merged wide scatter
+    # kernel-faulted one TPU runtime generation).
+    merge_item_scatters: bool = False
     # Blocked-Bloom membership for catalogs beyond the exact-bitmap budget
     # (ops/bpr_ops.py PosBloom): per-user block sized to
     # next_pow2(bloom_bits_per_pos * avg_degree) bits, clamped to

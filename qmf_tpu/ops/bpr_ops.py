@@ -816,6 +816,7 @@ def _sgd_epoch_scan_grouped_body(
     n_items: int,
     n_rounds: int,
     u_shift: int,
+    merge_item_scatters: bool = False,
 ) -> BPRParams:
     """Grouped-epoch program 2: minibatch-SGD scan, one row per POSITIVE.
 
@@ -866,22 +867,55 @@ def _sgd_epoch_scan_grouped_body(
         uf = params.user_factors.at[u].add(lr * du)
         e_sum = sum(es)
         dp = e_sum[:, None] * pu - num_neg * item_lambda * qp * wcol
-        itf = params.item_factors.at[p].add(lr * dp)
-        # num_neg sequential B-row scatters (the known-stable shape; a
-        # merged wide scatter kernel-faults this runtime — see
-        # _sgd_update_body's NOTE)
-        for e_j, (neg_j, qn_j) in zip(es, negs):
-            itf = itf.at[neg_j].add(
-                lr * (-e_j[:, None] * pu - item_lambda * qn_j * wcol)
+        if merge_item_scatters:
+            # ONE (1+num_neg)*B-row scatter-add for the whole item-side
+            # update. Scatter-add sums duplicates in unspecified order, so
+            # this is semantically identical to the sequential scatters;
+            # it trades num_neg+1 scatter dispatches for one wider one.
+            all_idx = jnp.concatenate(
+                [p] + [neg_j for neg_j, _ in negs], axis=0
             )
+            all_upd = jnp.concatenate(
+                [dp]
+                + [
+                    -e_j[:, None] * pu - item_lambda * qn_j * wcol
+                    for e_j, (_, qn_j) in zip(es, negs)
+                ],
+                axis=0,
+            )
+            itf = params.item_factors.at[all_idx].add(lr * all_upd)
+        else:
+            itf = params.item_factors.at[p].add(lr * dp)
+            # num_neg sequential B-row scatters (the known-stable shape; a
+            # merged wide scatter previously kernel-faulted this runtime —
+            # see _sgd_update_body's NOTE; merge_item_scatters retests it)
+            for e_j, (neg_j, qn_j) in zip(es, negs):
+                itf = itf.at[neg_j].add(
+                    lr * (-e_j[:, None] * pu - item_lambda * qn_j * wcol)
+                )
         if use_biases:
             bp = params.item_biases[p]
-            ib = params.item_biases.at[p].add(
-                lr * (e_sum - num_neg * bias_lambda * bp * w)
-            )
-            for e_j, (neg_j, _) in zip(es, negs):
-                bn = params.item_biases[neg_j]
-                ib = ib.at[neg_j].add(lr * (-e_j - bias_lambda * bn * w))
+            if merge_item_scatters:
+                bidx = jnp.concatenate(
+                    [p] + [neg_j for neg_j, _ in negs], axis=0
+                )
+                bupd = jnp.concatenate(
+                    [e_sum - num_neg * bias_lambda * bp * w]
+                    + [
+                        -e_j
+                        - bias_lambda * params.item_biases[neg_j] * w
+                        for e_j, (neg_j, _) in zip(es, negs)
+                    ],
+                    axis=0,
+                )
+                ib = params.item_biases.at[bidx].add(lr * bupd)
+            else:
+                ib = params.item_biases.at[p].add(
+                    lr * (e_sum - num_neg * bias_lambda * bp * w)
+                )
+                for e_j, (neg_j, _) in zip(es, negs):
+                    bn = params.item_biases[neg_j]
+                    ib = ib.at[neg_j].add(lr * (-e_j - bias_lambda * bn * w))
         else:
             ib = params.item_biases
         return BPRParams(uf, itf, ib), None
@@ -892,6 +926,7 @@ def _sgd_epoch_scan_grouped_body(
 
 _GROUPED_SCAN_STATICS = (
     "use_biases", "batch_size", "num_neg", "n_items", "n_rounds", "u_shift",
+    "merge_item_scatters",
 )
 _sgd_epoch_scan_grouped_impl = functools.partial(
     jax.jit,
@@ -977,6 +1012,7 @@ def sgd_epoch_grouped(
     batch_size: int,
     collide_cap: int,
     pos_set: Optional[PosSet] = None,
+    merge_item_scatters: bool = False,
 ):
     """One grouped training epoch: presample+encode, then the grouped scan.
 
@@ -1028,6 +1064,7 @@ def sgd_epoch_grouped(
         n_items=n_items,
         n_rounds=neg_rounds,
         u_shift=u_shift,
+        merge_item_scatters=merge_item_scatters,
     )
     return new_params, n_overflow
 
