@@ -50,13 +50,13 @@ _NB = 8  # k padding granularity (f32 sublane tile)
 _SCHUR_ALIGN = 16  # static slice alignment of the trailing update
 
 
-def _chol_solve_kernel(a_ref, b_ref, x_ref):
-    """Factor A = L L^T in place and solve L L^T x = b for one batch tile.
+def _factor_solve_core(a_ref, x_ref):
+    """Shared kernel core: factor A = L L^T in place and solve in place.
 
     a_ref: (k, k, TB) column-major-per-system (a_ref[c, r, :] = A[r, c]);
            overwritten with L stored by columns (slab p = L[:, p], zeros at
            rows <= p; diagonal kept in registers).
-    b_ref: (k, TB), x_ref: (k, TB).
+    x_ref: (k, TB); holds b on entry, x on return.
     """
     k = a_ref.shape[0]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
@@ -76,7 +76,6 @@ def _chol_solve_kernel(a_ref, b_ref, x_ref):
             a_ref[m:, m:, :] = a_ref[m:, m:, :] - sub[:, None, :] * sub[None]
 
     # -- forward substitution: L z = b (z accumulated in x_ref) --
-    x_ref[...] = b_ref[...]
     for p in range(k):
         xp = x_ref[p, :] * inv_diag[p]
         # slab p is zero at rows <= p, so x[<=p] is untouched by the sweep
@@ -89,6 +88,28 @@ def _chol_solve_kernel(a_ref, b_ref, x_ref):
     for p in range(k - 1, -1, -1):
         s = jnp.sum(a_ref[p] * x_ref[...], axis=0)
         x_ref[p, :] = (x_ref[p, :] - s) * inv_diag[p]
+
+
+def _chol_solve_kernel(a_ref, b_ref, x_ref):
+    """Batch-last entry: a (k, k, TB), b/x (k, TB)."""
+    x_ref[...] = b_ref[...]
+    _factor_solve_core(a_ref, x_ref)
+
+
+def _chol_solve_kernel_nat(a_ref, b_ref, x_ref, at_ref, xt_ref):
+    """Natural-layout entry: a (TB, k, k), b/x (TB, k).
+
+    Transposes the tile to batch-last in VMEM (one (TB, k*k) -> (k*k, TB)
+    2D transpose on-chip) so callers feed A in the layout the build einsum
+    naturally produces — no multi-GB XLA transpose between build and solve.
+    """
+    tb, k, _ = a_ref.shape
+    at_ref[...] = (
+        jnp.transpose(a_ref[...].reshape(tb, k * k), (1, 0)).reshape(k, k, tb)
+    )
+    xt_ref[...] = jnp.transpose(b_ref[...], (1, 0))
+    _factor_solve_core(at_ref, xt_ref)
+    x_ref[...] = jnp.transpose(xt_ref[...], (1, 0))
 
 
 @functools.partial(jax.jit, static_argnames=("tb", "interpret"))
@@ -127,6 +148,43 @@ def cholesky_solve_t(
     )(a_t, b_t)
 
 
+@functools.partial(jax.jit, static_argnames=("tb", "interpret"))
+def cholesky_solve_nat(
+    a: jax.Array,  # (B, k, k) SPD batch, natural layout
+    b: jax.Array,  # (B, k)
+    tb: int = 512,
+    interpret: bool = False,
+) -> jax.Array:  # (B, k)
+    """Fused Cholesky factor+solve taking A/b/x in natural batch-first
+    layout; the batch-last transpose happens per tile inside the kernel."""
+    bsz, k, _ = a.shape
+    if k % _NB:
+        raise ValueError(f"k={k} must be a multiple of {_NB} (pad with I)")
+    if bsz % tb:
+        raise ValueError(f"batch {bsz} must be a multiple of tile {tb}")
+    grid = (bsz // tb,)
+    return pl.pallas_call(
+        _chol_solve_kernel_nat,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, k, k), lambda i: (i, 0, 0)),
+            pl.BlockSpec((tb, k), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((tb, k), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, k), a.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((k, k, tb), a.dtype),
+            pltpu.VMEM((k, tb), a.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=bsz * (k * k * k // 3 + 2 * k * k),
+            bytes_accessed=(k * k + 2 * k) * bsz * 4,
+            transcendentals=bsz * k,
+        ),
+        interpret=interpret,
+    )(a, b)
+
+
 def _pick_tile(k: int) -> int:
     """Batch-lane tile: A tile (double-buffered) + the (k, k, TB) Schur
     temporary within a ~10 MB VMEM budget, capped at 512 lanes."""
@@ -141,6 +199,7 @@ def solve_spd(
     a: jax.Array,  # (B, k, k)
     b: jax.Array,  # (B, k)
     interpret: bool = False,
+    layout: str = "nat",
 ) -> jax.Array:  # (B, k)
     """Drop-in batched SPD solve (same contract as linalg.solve_spd).
 
@@ -166,6 +225,10 @@ def solve_spd(
         idx = jnp.arange(kp)
         a = a.at[bsz:, idx, idx].set(1.0)
         b = jnp.pad(b, ((0, pad_b), (0, 0)))
+    if layout == "nat":
+        # per-tile in-VMEM transpose; no whole-batch XLA transpose
+        x = cholesky_solve_nat(a, b, tb=tb, interpret=interpret)
+        return x[:bsz, :k]
     x_t = cholesky_solve_t(
         a.transpose(1, 2, 0), b.T, tb=tb, interpret=interpret
     )

@@ -50,6 +50,21 @@ class TestPallasSolve:
         expect = np.linalg.solve(a.astype(np.float64), b.astype(np.float64)[..., None])[..., 0]
         np.testing.assert_allclose(x, expect, rtol=2e-4, atol=2e-4)
 
+    @pytest.mark.parametrize("layout", ["nat", "t"])
+    def test_layouts_agree(self, layout):
+        """The in-kernel-transpose (nat) and batch-last (t) entries solve
+        identically."""
+        a, b = _random_spd(16, 32, seed=21)
+        x = np.asarray(
+            pallas_solve.solve_spd(
+                jnp.asarray(a), jnp.asarray(b), interpret=True, layout=layout
+            )
+        )
+        expect = np.linalg.solve(
+            a.astype(np.float64), b.astype(np.float64)[..., None]
+        )[..., 0]
+        np.testing.assert_allclose(x, expect, rtol=2e-4, atol=2e-4)
+
     def test_batch_padding(self):
         # batch not a multiple of the lane tile: padded identity systems
         a, b = _random_spd(13, 16, seed=11)
