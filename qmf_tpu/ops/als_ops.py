@@ -316,6 +316,18 @@ def _solve_side(y, class_arrays, chunk_sizes, n_rows, alpha, lam, solver,
                 class_arrays, chunk_sizes
             )
         ]
+        if solver == "pallas":
+            # the fused single-pass kernel has no latency-bound solve chain
+            # to amortize, so solving per width class skips the
+            # concatenated-A copy (one extra multi-GB HBM round-trip at
+            # ML-20M scale) the wide XLA solve needs
+            for (row_ids, *_), (a, b, conf_sum) in zip(class_arrays, parts):
+                x = _solve_dispatch(a, b, solver)
+                loss = loss + jnp.sum(
+                    _loss_from_solution(x, b, conf_sum, lam)
+                )
+                x_out = x_out.at[row_ids].set(x, mode="drop")
+            return x_out, loss
         a = jnp.concatenate([p[0] for p in parts], axis=0)
         b = jnp.concatenate([p[1] for p in parts], axis=0)
         conf_sum = jnp.concatenate([p[2] for p in parts], axis=0)
