@@ -52,7 +52,9 @@ def main():
         (ib.row_ids[i], ib.col_idx[i], ib.values[i], ib.mask[i])
         for i in range(len(ib))
     ]
-    for solver in solvers:
+    for spec in solvers:
+        # "<solver>" or "<solver>:noclass" (in-scan per-chunk solving)
+        solver, _, mode = spec.partition(":")
         u = jnp.array(eng.user_factors)
         v = jnp.array(eng.item_factors)
         args = dict(
@@ -66,12 +68,12 @@ def main():
             n_items=eng.nitems,
             user_chunks=tuple(eng._user_chunks),
             item_chunks=tuple(eng._item_chunks),
-            class_solve=True,
+            class_solve=(mode != "noclass"),
         )
         t0 = time.time()
         out = als_ops.train_epoch(u, v, **args)
         float(out[3])
-        print(f"solver={solver}: compile+run {time.time()-t0:.1f}s",
+        print(f"solver={spec}: compile+run {time.time()-t0:.1f}s",
               flush=True)
         times = []
         for _ in range(5):
@@ -81,7 +83,7 @@ def main():
             float(out[3])
             times.append(time.time() - t0)
         print(
-            f"solver={solver}: epoch {np.median(times)*1e3:.1f} ms"
+            f"solver={spec}: epoch {np.median(times)*1e3:.1f} ms"
             f" (all: {[f'{t*1e3:.0f}' for t in times]})",
             flush=True,
         )
