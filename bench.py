@@ -293,7 +293,9 @@ def _bench_bpr(ds, train_path: str) -> None:
     )
 
     baseline = _get_baseline(
-        f"{PRESET}_bpr_k{BPR_NFACTORS}",
+        f"{PRESET}_bpr_k{BPR_NFACTORS}_n{BPR_NUM_NEG}"
+        if BPR_NUM_NEG != 3
+        else f"{PRESET}_bpr_k{BPR_NFACTORS}",
         lambda: _measure_reference_bpr(train_path, n_real),
     )
     base_ups = baseline.get("ref_updates_per_s_16core_extrapolated")

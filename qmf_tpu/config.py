@@ -118,7 +118,7 @@ class BPRConfig:
     bitmap_budget_mb: int = 1024
     # Grouped packed epochs (one scan row per positive, negatives
     # reconstructed from 2-bit round indices — ops/bpr_ops.py
-    # sgd_epoch_grouped). Preconditions checked by grouped_path_eligible;
+    # sgd_epoch_grouped). Preconditions checked by grouped_path_reject_reason;
     # set False to force the legacy triplet-stream paths.
     grouped_epoch: bool = True
     # Capacity of the compacted collision buffer in the grouped presampler,

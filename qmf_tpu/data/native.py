@@ -32,14 +32,23 @@ def _try_build() -> None:
     read-only tree) degrade silently to the numpy/Python parsers."""
     import subprocess
 
-    native_dir = os.path.join(os.path.dirname(__file__), "..", "_native")
+    native_dir = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "_native")
+    )
     try:
-        subprocess.run(
-            ["make", "-C", os.path.abspath(native_dir)],
-            capture_output=True,
-            timeout=120,
-            check=True,
-        )
+        # serialize concurrent builders (parallel tests / scheduler+worker
+        # processes): without the lock one process can dlopen a half-linked
+        # .so another is still writing
+        import fcntl
+
+        with open(os.path.join(native_dir, ".build.lock"), "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            subprocess.run(
+                ["make", "-C", native_dir],
+                capture_output=True,
+                timeout=120,
+                check=True,
+            )
     except Exception:
         pass
 
@@ -54,7 +63,12 @@ def _load() -> Optional[ctypes.CDLL]:
         _try_build()
     if not os.path.exists(path):
         return None
-    lib = ctypes.CDLL(path)
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        # corrupt/partial artifact (e.g. a build killed mid-link): degrade
+        # to the numpy/Python parsers like every other unavailability case
+        return None
 
     lib.qmf_count_lines.argtypes = [ctypes.c_char_p]
     lib.qmf_count_lines.restype = ctypes.c_longlong

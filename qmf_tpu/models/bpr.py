@@ -112,8 +112,13 @@ class BPREngine(Engine):
         # keeps the grouped fast path at any catalog scale; plain CSR
         # binary search remains the final fallback.
         bitmap_bytes = self.nusers * ((self.nitems + 31) // 32) * 4
+        # int32 word indexing bounds the exact bitmap regardless of budget;
+        # beyond it the Bloom path (built for exactly that regime) takes over
+        bitmap_feasible = (
+            self.nusers * ((self.nitems + 31) // 32) < 2**31
+        )
         self._pos_bloom = None
-        if bitmap_bytes <= cfg.bitmap_budget_mb * (1 << 20):
+        if bitmap_feasible and bitmap_bytes <= cfg.bitmap_budget_mb * (1 << 20):
             self._pos_bitmap = bpr_ops.make_pos_bitmap(
                 self._data_users, self._data_items, self.nusers, self.nitems
             )
@@ -139,17 +144,18 @@ class BPREngine(Engine):
         # triplet stream when preconditions fail.
         n_pos = len(self._data_users)
         grp_bs = min(cfg.batch_size, max(1, n_pos))
-        reject = bpr_ops.grouped_path_reject_reason(
-            self.nusers,
-            self.nitems,
-            cfg.num_negative_samples,
-            cfg.neg_resample_rounds,
-            grp_bs,
-            has_bitmap=(self._pos_bitmap is not None
-                        or self._pos_bloom is not None),
-        )
         if not cfg.grouped_epoch:
             reject = "disabled by config (grouped_epoch=False)"
+        else:
+            reject = bpr_ops.grouped_path_reject_reason(
+                self.nusers,
+                self.nitems,
+                cfg.num_negative_samples,
+                cfg.neg_resample_rounds,
+                grp_bs,
+                has_bitmap=(self._pos_bitmap is not None
+                            or self._pos_bloom is not None),
+            )
         if reject is not None:
             log.info(
                 "BPR grouped fast path unavailable (%s): falling back to "

@@ -557,6 +557,10 @@ def _sgd_epoch_impl(
 
 _PACK_SHIFT = 15  # packed items xs: pos << 15 | neg, valid while n_items <= 32768
 
+# fallback-path diagnoses already emitted (log once per reason set, not per
+# epoch — the condition is fixed at init time)
+_fallback_logged: set = set()
+
 
 def _feistel_bijection(key: jax.Array, m: int, b: int) -> jax.Array:
     """A keyed bijection on [0, m * 2**b) as pure index arithmetic.
@@ -954,9 +958,14 @@ def grouped_path_reject_reason(
         return "no positive-membership structure (bitmap/bloom) available"
     if num_neg < 1:
         return f"num_negative_samples={num_neg} < 1"
-    if n_rounds > 4:
+    if u_shift > 30:
         return (
-            f"neg_resample_rounds={n_rounds} > 4 "
+            f"num_negative_samples={num_neg} leaves no user bits "
+            f"(needs 1 + 2*{num_neg} + user bits <= 31)"
+        )
+    if not 1 <= n_rounds <= 4:
+        return (
+            f"neg_resample_rounds={n_rounds} outside [1, 4] "
             "(round index must fit 2 bits)"
         )
     if batch_size < 1:
@@ -974,23 +983,6 @@ def grouped_path_reject_reason(
     if n_items >= (1 << 31):
         return f"n_items={n_items} >= 2^31"
     return None
-
-
-def grouped_path_eligible(
-    n_users: int,
-    n_items: int,
-    num_neg: int,
-    n_rounds: int,
-    batch_size: int,
-    has_bitmap: bool,
-) -> bool:
-    """Preconditions of the grouped packed epoch (see sgd_epoch_grouped)."""
-    return (
-        grouped_path_reject_reason(
-            n_users, n_items, num_neg, n_rounds, batch_size, has_bitmap
-        )
-        is None
-    )
 
 
 def sgd_epoch_grouped(
@@ -1022,7 +1014,7 @@ def sgd_epoch_grouped(
 
     Caller contract: pos_u/pos_i are padded to a multiple of batch_size
     (a power of two), n_real marks the real prefix length, and
-    grouped_path_eligible(...) returned True for this configuration.
+    grouped_path_reject_reason(...) returned None for this configuration.
     """
     u_shift = 1 + 2 * num_neg
     key, skey = jax.random.split(key)
@@ -1279,10 +1271,13 @@ def sgd_epoch(
         reasons.append(f"stream length {n} % batch_size {batch_size} != 0")
     if n_real is None:
         reasons.append("n_real not provided")
-    logging.getLogger("qmf_tpu").info(
-        "BPR epoch falling back to in-scan CSR sampling (~4x slower than "
-        "the packed presampled path): %s", "; ".join(reasons)
-    )
+    reason_key = tuple(reasons)
+    if reason_key not in _fallback_logged:
+        _fallback_logged.add(reason_key)
+        logging.getLogger("qmf_tpu").info(
+            "BPR epoch falling back to in-scan CSR sampling (~4x slower "
+            "than the packed presampled path): %s", "; ".join(reasons)
+        )
     # NOTE: bitmap_words deliberately NOT forwarded — bitmap membership
     # gathers inside the lax.scan body deterministically kernel-fault this
     # TPU runtime at ML-20M scale (benchmarks/bpr_crash_bisect.py, item a).

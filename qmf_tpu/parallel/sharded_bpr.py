@@ -164,6 +164,7 @@ class ShardedBPREngine(BPREngine):
                 n_items=self.nitems,
                 n_rounds=cfg.neg_resample_rounds,
                 u_shift=u_shift,
+                merge_item_scatters=cfg.merge_item_scatters,
             )
             return
         self.params = self._epoch_fn(

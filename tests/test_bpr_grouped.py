@@ -437,3 +437,91 @@ class TestGroupedEpochEngine:
             np.asarray(straight.params.user_factors),
             np.asarray(resumed.params.user_factors),
         )
+
+
+class TestRejectReasons:
+    """grouped_path_reject_reason must return a reason — never raise — for
+    any config the legacy triplet path supports (round-3 review findings)."""
+
+    @pytest.mark.parametrize(
+        "num_neg,n_rounds",
+        [(16, 4), (1, 0), (1, 5), (0, 4), (15, 4)],
+    )
+    def test_extreme_configs_reject_cleanly(self, num_neg, n_rounds):
+        r = bpr_ops.grouped_path_reject_reason(
+            100, 100, num_neg, n_rounds, 64, True
+        )
+        assert isinstance(r, str) and r
+
+    def test_default_config_eligible(self):
+        assert (
+            bpr_ops.grouped_path_reject_reason(138_493, 26_744, 3, 4, 32768, True)
+            is None
+        )
+
+    def test_engine_init_with_many_negatives_falls_back(self):
+        rng = np.random.default_rng(0)
+        ds = Dataset(
+            rng.integers(1, 50, 400), rng.integers(1, 60, 400), np.ones(400)
+        )
+        eng = BPREngine(
+            BPRConfig(
+                nepochs=1, nfactors=4, num_negative_samples=16, batch_size=64
+            )
+        )
+        eng.init(ds)  # must not raise despite u_shift > 31
+        assert not eng._grouped
+        eng._epoch()  # legacy path trains
+        assert np.isfinite(np.asarray(eng.params.user_factors)).all()
+
+
+class TestMergedScatters:
+    def test_merged_equals_sequential(self):
+        rng = np.random.default_rng(3)
+        n_pos, U, I, nn = 96, 40, 64, 3
+        pu = rng.integers(0, U, n_pos).astype(np.int32)
+        pi = rng.integers(0, I, n_pos).astype(np.int32)
+        params = bpr_ops.BPRParams(
+            jnp.asarray(rng.normal(0, 0.1, (U, 8)).astype(np.float32)),
+            jnp.asarray(rng.normal(0, 0.1, (I, 8)).astype(np.float32)),
+            jnp.asarray(rng.normal(0, 0.1, I).astype(np.float32)),
+        )
+        bitmap = bpr_ops.make_pos_bitmap(pu, pi, U, I)
+        u_shift = 1 + 2 * nn
+        enc, p, rk, _ = bpr_ops._sample_pack_grouped_impl(
+            jax.random.PRNGKey(1),
+            jnp.asarray(pu),
+            jnp.asarray(pi),
+            bitmap.words,
+            n_items=I,
+            n_real=n_pos,
+            num_neg=nn,
+            n_rounds=4,
+            shuffle=True,
+            wpu=bitmap.words_per_user,
+            u_shift=u_shift,
+            feistel_b=5,
+            collide_cap=128,
+            membership="bitmap",
+        )
+        kw = dict(
+            use_biases=True, batch_size=32, num_neg=nn, n_items=I,
+            n_rounds=4, u_shift=u_shift,
+        )
+        lr = jnp.float32(0.05)
+        lam = jnp.float32(0.01)
+        seq = bpr_ops._sgd_epoch_scan_grouped_body(
+            params, enc, p, rk, lr, lam, lam, lam,
+            merge_item_scatters=False, **kw,
+        )
+        mrg = bpr_ops._sgd_epoch_scan_grouped_body(
+            params, enc, p, rk, lr, lam, lam, lam,
+            merge_item_scatters=True, **kw,
+        )
+        for name in ("user_factors", "item_factors", "item_biases"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(seq, name)),
+                np.asarray(getattr(mrg, name)),
+                rtol=2e-6,
+                atol=2e-7,
+            )
