@@ -105,6 +105,8 @@ def main() -> int:
         extra = []
         if os.environ.get("QMF_PARITY_PRECISION"):
             extra = [f"--matmul_precision={os.environ['QMF_PARITY_PRECISION']}"]
+        if os.environ.get("QMF_PARITY_SOLVER"):
+            extra.append(f"--solver={os.environ['QMF_PARITY_SOLVER']}")
         rc = wals_cli.main(
             [*common, *extra, f"--user_factors={work}/ou.dat",
              f"--item_factors={work}/oi.dat"]
