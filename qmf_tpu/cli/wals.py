@@ -77,7 +77,7 @@ def make_flags() -> Flags:
     fl.define_string(
         "solver",
         "cholesky",
-        "per-row solver: cholesky | pallas (fused TPU kernel) | lu",
+        "per-row solver: cholesky | pallas (fused TPU kernel) | lu | auto (pallas on f32 accelerators, cholesky elsewhere)",
     )
     fl.define_integer("batch_rows", 4096, "max rows per device solve batch")
     fl.define_string(

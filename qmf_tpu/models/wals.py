@@ -97,6 +97,16 @@ class WALSEngine(Engine):
     def nitems(self) -> int:
         return self.item_index.size if self.item_index else 0
 
+    def _auto_solver(self) -> str:
+        """Resolve solver="auto": the fused single-pass Pallas kernel on an
+        f32 accelerator backend (no f64 on Pallas TPU; interpret-only on
+        CPU), the batched blocked Cholesky everywhere else. The sharded
+        engine overrides this — pallas_call is not GSPMD-partitionable, so
+        multi-chip programs keep the XLA solver."""
+        if self.dtype == jnp.float32 and jax.default_backend() != "cpu":
+            return "pallas"
+        return "cholesky"
+
     def _use_device_pack(self) -> bool:
         """Resolve the device_pack="auto" knob: on for f32 accelerator runs
         (where the COO transfer + on-device sort beats shipping padded
@@ -117,10 +127,13 @@ class WALSEngine(Engine):
         # fused epoch paths call _solve_dispatch directly, bypassing
         # solve_bucket's whitelist.
         if cfg.solver not in (
-            "cholesky", "cholesky_matmul", "schur", "cholesky_xla", "pallas",
-            "lu",
+            "auto", "cholesky", "cholesky_matmul", "schur", "cholesky_xla",
+            "pallas", "lu",
         ):
             raise ValueError(f"unknown WALS solver {cfg.solver!r}")
+        self._solver = (
+            self._auto_solver() if cfg.solver == "auto" else cfg.solver
+        )
         self.user_index = IdIndex.from_sorted_ids(dataset.user_ids)
         self.item_index = IdIndex.from_sorted_ids(dataset.item_ids)
         rows = self.user_index.lookup(dataset.user_ids)
@@ -237,7 +250,7 @@ class WALSEngine(Engine):
             n,
             cfg.confidence_weight,
             cfg.regularization_lambda,
-            solver=cfg.solver,
+            solver=self._solver,
             dtype=self.dtype,
             precision=cfg.matmul_precision,
         )
@@ -266,7 +279,7 @@ class WALSEngine(Engine):
             i_arrays,
             jnp.asarray(cfg.confidence_weight, dtype=self.dtype),
             jnp.asarray(cfg.regularization_lambda, dtype=self.dtype),
-            solver=cfg.solver,
+            solver=self._solver,
             precision=cfg.matmul_precision,
             n_users=self.nusers,
             n_items=self.nitems,
@@ -303,7 +316,7 @@ class WALSEngine(Engine):
             i_arrays,
             jnp.asarray(cfg.confidence_weight, dtype=self.dtype),
             jnp.asarray(cfg.regularization_lambda, dtype=self.dtype),
-            solver=cfg.solver,
+            solver=self._solver,
             precision=cfg.matmul_precision,
             n_users=self.nusers,
             n_items=self.nitems,

@@ -54,10 +54,23 @@ class ShardedWALSEngine(WALSEngine):
         self._train_epoch_fn = make_sharded_train_epoch(self.mesh, self.axis_name)
         self._train_epochs_fn = make_sharded_train_epochs(self.mesh, self.axis_name)
 
+    def _auto_solver(self) -> str:
+        # pallas_call is not GSPMD-partitionable: sharded programs keep the
+        # XLA blocked Cholesky (see WALSEngine._auto_solver)
+        return "cholesky"
+
     def init(self, dataset: Dataset) -> None:
         if self.user_factors is not None or self.item_factors is not None:
             raise RuntimeError("engine was already initialized with train data")
         cfg = self.config
+        if cfg.solver not in (
+            "auto", "cholesky", "cholesky_matmul", "schur", "cholesky_xla",
+            "pallas", "lu",
+        ):
+            raise ValueError(f"unknown WALS solver {cfg.solver!r}")
+        self._solver = (
+            self._auto_solver() if cfg.solver == "auto" else cfg.solver
+        )
         self.user_index = IdIndex.from_sorted_ids(dataset.user_ids)
         self.item_index = IdIndex.from_sorted_ids(dataset.item_ids)
         rows = self.user_index.lookup(dataset.user_ids)
@@ -132,7 +145,7 @@ class ShardedWALSEngine(WALSEngine):
             ib.arrays(),
             jnp.asarray(cfg.confidence_weight, dtype=self.dtype),
             jnp.asarray(cfg.regularization_lambda, dtype=self.dtype),
-            solver=cfg.solver,
+            solver=self._solver,
             precision=cfg.matmul_precision,
             n_users=self._pad_users,
             n_items=self._pad_items,
@@ -166,7 +179,7 @@ class ShardedWALSEngine(WALSEngine):
             ib.arrays(),
             jnp.asarray(cfg.confidence_weight, dtype=self.dtype),
             jnp.asarray(cfg.regularization_lambda, dtype=self.dtype),
-            solver=cfg.solver,
+            solver=self._solver,
             precision=cfg.matmul_precision,
             n_users=self._pad_users,
             n_items=self._pad_items,
@@ -194,7 +207,7 @@ class ShardedWALSEngine(WALSEngine):
             cfg.confidence_weight,
             cfg.regularization_lambda,
             self.mesh,
-            solver=cfg.solver,
+            solver=self._solver,
             dtype=self.dtype,
             axis_name=self.axis_name,
             solve_fn=self._solve_fn,
