@@ -138,6 +138,45 @@ def _measure_reference_bpr(train_path: str, n_triplets: int) -> dict:
     }
 
 
+def _wait_for_backend() -> None:
+    """Block until the accelerator backend initializes (probed in a
+    subprocess — a hung init inside the PJRT plugin ignores signals and
+    would wedge this process). The TPU pool has been observed down for
+    hours at a stretch; waiting here lets a scheduled bench run survive a
+    temporary outage instead of crashing at engine.init."""
+    deadline = time.time() + int(
+        os.environ.get("QMF_BENCH_BACKEND_WAIT_S", "1800")
+    )
+    attempt = 0
+    while True:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True,
+                timeout=300,
+            )
+            ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:  # init hang = backend down
+            ok = False
+        if ok:
+            if attempt:
+                print("# backend is back", file=sys.stderr)
+            return
+        attempt += 1
+        if time.time() > deadline:
+            print(
+                "# accelerator backend unavailable past "
+                "QMF_BENCH_BACKEND_WAIT_S; proceeding (will likely fail)",
+                file=sys.stderr,
+            )
+            return
+        print(
+            f"# backend unavailable (attempt {attempt}); retrying in 60s",
+            file=sys.stderr,
+        )
+        time.sleep(60)
+
+
 def _get_baseline(key: str, measure) -> dict:
     cache = {}
     if os.path.exists(BASELINE_FILE):
@@ -160,6 +199,8 @@ def main() -> None:
     import datagen
 
     train_path = datagen.ensure_dataset(PRESET)
+
+    _wait_for_backend()
 
     from qmf_tpu.cli.common import enable_compilation_cache
 
