@@ -177,10 +177,20 @@ class BPREngine(Engine):
             self._n_real_pos = n_pos
             self._n_real_triplets = n_pos * cfg.num_negative_samples
             n_slots = len(gu) * cfg.num_negative_samples
-            cap_frac = cfg.collide_cap_frac
+            # expected collision rate of a uniform candidate:
+            # P(cand in user's positives) averaged over stream slots
+            # = sum_u deg(u)^2 / (n_pos * n_items). Dense small catalogs
+            # (ml100k: ~8%) need a far larger buffer than sparse ones
+            # (ml20m: ~0.7%); 3x headroom keeps overflows rare without a
+            # config change per dataset. collide_cap_frac stays the floor.
+            degs = np.bincount(self._data_users, minlength=self.nusers)
+            p_est = float((degs.astype(np.float64) ** 2).sum()) / (
+                max(1, n_pos) * max(1, self.nitems)
+            )
+            cap_frac = max(cfg.collide_cap_frac, min(0.5, 3.0 * p_est))
             if self._pos_bloom is not None:
                 # bloom mode compacts true collisions PLUS ~5% false
-                # positives; give the buffer 2x headroom
+                # positives; give the buffer extra headroom
                 cap_frac = max(cap_frac, 1.0 / 8.0)
             self._collide_cap = max(1024, int(n_slots * cap_frac))
             log.info(
