@@ -76,7 +76,7 @@ def make_flags() -> Flags:
     fl.define_string("dtype", "float32", "device compute dtype")
     fl.define_string(
         "solver",
-        "cholesky",
+        "auto",
         "per-row solver: cholesky | pallas (fused TPU kernel) | lu | auto (pallas on f32 accelerators, cholesky elsewhere)",
     )
     fl.define_integer("batch_rows", 4096, "max rows per device solve batch")

@@ -35,13 +35,15 @@ class WALSConfig:
     # Computation dtype on device. float32 is the TPU-native choice; the
     # reference computes in float64 on CPU (qmf/Types.h:24).
     dtype: str = "float32"
-    # "cholesky" (unrolled blocked SPD factor+solve — fastest measured on
-    # v5e, see benchmarks/README.md), "schur" (recursive explicit SPD
-    # inverse; matmul-heavy but HBM-bound at scale), "cholesky_matmul"
-    # (matmul-panel substitutions), "pallas" (fused factor+solve kernel;
-    # opt-in, some remote AOT compilers cannot compile it), or "lu"
+    # "auto" resolves per backend: the fused single-pass Pallas factor+solve
+    # kernel on an f32 accelerator (ml20m k=64 epoch 219 ms vs 297 ms XLA,
+    # AUC parity |diff| 2e-05 — benchmarks/README.md), the unrolled blocked
+    # XLA Cholesky on CPU / f64 / sharded meshes (Pallas TPU has no f64 and
+    # pallas_call is not GSPMD-partitionable). Explicit choices: "cholesky"
+    # (blocked XLA SPD factor+solve), "pallas", "schur" (recursive explicit
+    # SPD inverse), "cholesky_matmul" (matmul-panel substitutions), or "lu"
     # (general symmetric, matches dsysv_'s tolerance of indefinite systems).
-    solver: str = "cholesky"
+    solver: str = "auto"
     # Max rows per solve bucket on device; bounds compile count and memory.
     batch_rows: int = 4096
     # MXU matmul precision for the normal-equation builds: "highest" (full

@@ -104,9 +104,12 @@ def _chol_solve_kernel_nat(a_ref, b_ref, x_ref, at_ref, xt_ref):
     naturally produces — no multi-GB XLA transpose between build and solve.
     """
     tb, k, _ = a_ref.shape
-    at_ref[...] = (
-        jnp.transpose(a_ref[...].reshape(tb, k * k), (1, 0)).reshape(k, k, tb)
-    )
+    # Mosaic rejects the one-shot (TB, k, k) -> (TB, k*k) vector reshape
+    # ("unsupported shape cast"); k row-slab 2D transposes lower cleanly.
+    # at[c, r, :] = a[:, r, c] for all c == transpose of the (TB, k) slab
+    # a[:, r, :], written to the strided (k, TB) slab at[:, r, :].
+    for r in range(k):
+        at_ref[:, r, :] = jnp.transpose(a_ref[:, r, :], (1, 0))
     xt_ref[...] = jnp.transpose(b_ref[...], (1, 0))
     _factor_solve_core(at_ref, xt_ref)
     x_ref[...] = jnp.transpose(xt_ref[...], (1, 0))
