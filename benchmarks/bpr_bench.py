@@ -2,9 +2,10 @@
 
 Usage: python -u benchmarks/bpr_bench.py [batch_size ...]
 Reports REAL (unpadded) triplet updates/sec per epoch against the reference
-Hogwild target (~9.8M updates/s = measured single-core 0.61M x perfect
-16-thread scaling; see benchmarks/README.md). Padded no-op rows in the
-device stream are excluded from the numerator.
+Hogwild target (measured single-core updates/s x perfect 16-thread scaling,
+read from benchmarks/baseline_measured.json — ~25.2M upd/s at ml20m; see
+benchmarks/README.md baseline methodology). Padded no-op rows in the device
+stream are excluded from the numerator.
 """
 
 import sys
@@ -25,7 +26,25 @@ from qmf_tpu.config import BPRConfig  # noqa: E402
 from qmf_tpu.data.dataset import Dataset  # noqa: E402
 from qmf_tpu.models.bpr import BPREngine  # noqa: E402
 
-REF_UPDATES_PER_S = 9.8e6  # 16-thread-extrapolated reference Hogwild
+def _ref_updates_per_s() -> float:
+    """16-thread-extrapolated reference Hogwild bar: the interleaved-median
+    measurement cached by bench.py when available, else the round-3 value
+    (see benchmarks/README.md baseline methodology note)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "baseline_measured.json")
+    try:
+        with open(path) as f:
+            cache = json.load(f)
+        return float(
+            cache["ml20m_bpr_k30"]["ref_updates_per_s_16core_extrapolated"]
+        )
+    except (OSError, KeyError, ValueError):
+        return 25.2e6
+
+
+REF_UPDATES_PER_S = _ref_updates_per_s()
 
 
 def _sync(eng):
@@ -48,6 +67,8 @@ def main():
     datagen.ensure_dataset(preset)
     users, items, values = datagen.load_npz(preset)
     ds = Dataset(users, items, values)
+    sampler = os.environ.get("QMF_BPR_SAMPLER", "word")
+    merge = os.environ.get("QMF_BPR_MERGE", "") == "1"
     for bs, rounds in specs:
         cfg = BPRConfig(
             nepochs=1,
@@ -55,6 +76,8 @@ def main():
             num_negative_samples=3,
             batch_size=bs,
             neg_resample_rounds=rounds,
+            neg_sampler=sampler,
+            merge_item_scatters=merge,
             init_seed=0,
         )
         eng = BPREngine(cfg)

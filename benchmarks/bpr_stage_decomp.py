@@ -42,8 +42,7 @@ def decompose(eng: BPREngine, bs: int):
     def run_pack(k):
         return bpr_ops._sample_pack_grouped_impl(
             k,
-            eng._grp_users,
-            eng._grp_items,
+            eng._grp_up,
             bitmap.words,
             n_items=eng.nitems,
             n_real=eng._n_real_pos,
@@ -97,7 +96,7 @@ def decompose(eng: BPREngine, bs: int):
           f"({[f'{t:.3f}' for t in times]})", flush=True)
     n_real = eng._n_real_triplets
     total = t_pack + t_scan
-    n_steps = eng._grp_users.shape[0] // bs
+    n_steps = eng._grp_up.shape[0] // bs
     print(f"  total {total:.3f}s ({n_steps} scan steps, "
           f"{t_scan / n_steps * 1e3:.2f}ms/step) -> "
           f"{n_real / total / 1e6:.2f}M real updates/s", flush=True)
@@ -119,7 +118,7 @@ def main():
             print(f"bs={bs}: grouped path unavailable, skipping", flush=True)
             continue
         print(f"bs={bs}: init {time.time()-t0:.1f}s; "
-              f"{eng._grp_users.shape[0]} stream rows "
+              f"{eng._grp_up.shape[0]} stream rows "
               f"({eng._n_real_pos} real positives)", flush=True)
         decompose(eng, min(bs, eng._grp_batch))
 

@@ -88,6 +88,12 @@ def make_flags() -> Flags:
         "neg_resample_rounds", 4, "device negative-sampling rejection rounds"
     )
     fl.define_integer("init_seed", 0, "seed for factor init and shuffling")
+    fl.define_string(
+        "neg_sampler",
+        "word",
+        "grouped-epoch negative sampler: word (single-gather in-word "
+        "probes) | rounds (compacted exact-rejection rounds)",
+    )
     return fl
 
 
@@ -119,6 +125,7 @@ def main(argv=None) -> int:
         dtype=fl.dtype,
         batch_size=fl.batch_size,
         neg_resample_rounds=fl.neg_resample_rounds,
+        neg_sampler=fl.neg_sampler,
         init_seed=fl.init_seed,
     )
     metrics_config = MetricsConfig(

@@ -134,6 +134,19 @@ class BPRConfig:
     # until validated on the target runtime (a merged wide scatter
     # kernel-faulted one TPU runtime generation).
     merge_item_scatters: bool = False
+    # Negative-sampler strategy for the grouped epoch when the exact bitmap
+    # is available. "word": each positive ROW gathers ONE bitmap word; slot
+    # j's probe rounds r < R-1 test spread-out bits of that word
+    # (distinct-mod-32 offsets per slot/round) and round R-1 is a fresh
+    # unchecked candidate — one-word-per-row presampling, ~2x faster at
+    # ML-20M (random-gather cost is per gathered ROW here, and this removes
+    # the where-compaction + per-round gathers + 2/3 of the word-gather
+    # rows; benchmarks/bpr_presample_micro.py), with residual
+    # positive-candidate probability ~p^2 vs p^R. "rounds": the compacted
+    # exact-rejection sampler (each round an independent uniform
+    # candidate). Bloom-membership catalogs and configs with
+    # num_neg*(rounds-1) > 15 always use "rounds" (+ CSR verify on bloom).
+    neg_sampler: str = "word"
     # Blocked-Bloom membership for catalogs beyond the exact-bitmap budget
     # (ops/bpr_ops.py PosBloom): per-user block sized to
     # next_pow2(bloom_bits_per_pos * avg_degree) bits, clamped to

@@ -69,6 +69,7 @@ class BPREngine(Engine):
         self.test_labels: Optional[np.ndarray] = None
         self._step_key = jax.random.PRNGKey(config.init_seed)
         self._grouped = False
+        self._grp_up = None  # (n_stream, 2) interleaved [user, item] rows
         self._last_overflow = None
 
         if (
@@ -89,11 +90,22 @@ class BPREngine(Engine):
     def nitems(self) -> int:
         return self.item_index.size if self.item_index else 0
 
+    @property
+    def _grp_users(self) -> jax.Array:
+        """Column view of the interleaved grouped stream (diagnostics)."""
+        return self._grp_up[:, 0]
+
+    @property
+    def _grp_items(self) -> jax.Array:
+        return self._grp_up[:, 1]
+
     # --- lifecycle -----------------------------------------------------------
     def init(self, dataset: Dataset) -> None:
         if self.params is not None:
             raise RuntimeError("engine was already initialized with train data")
         cfg = self.config
+        if cfg.neg_sampler not in ("word", "rounds"):
+            raise ValueError(f"unknown BPR neg_sampler {cfg.neg_sampler!r}")
         # positives: value >= 1.0, ids indexed in first-appearance order
         keep = dataset.values >= 1.0
         users_raw = dataset.user_ids[keep]
@@ -172,8 +184,13 @@ class BPREngine(Engine):
             gi = np.concatenate(
                 [self._data_items, np.zeros(pad, np.int32)]
             ) if pad else self._data_items
-            self._grp_users = jnp.asarray(gu.astype(np.int32))
-            self._grp_items = jnp.asarray(gi.astype(np.int32))
+            # interleaved [user, item] rows: the epoch shuffle is then ONE
+            # row gather (random-gather cost is per ROW on this hardware)
+            self._grp_up = jnp.asarray(
+                np.stack(
+                    [gu.astype(np.int32), gi.astype(np.int32)], axis=1
+                )
+            )
             self._n_real_pos = n_pos
             self._n_real_triplets = n_pos * cfg.num_negative_samples
             n_slots = len(gu) * cfg.num_negative_samples
@@ -344,8 +361,7 @@ class BPREngine(Engine):
             self.params, self._last_overflow = bpr_ops.sgd_epoch_grouped(
                 self.params,
                 sub,
-                self._grp_users,
-                self._grp_items,
+                self._grp_up,
                 self._pos_bitmap
                 if self._pos_bitmap is not None
                 else self._pos_bloom,
@@ -363,6 +379,7 @@ class BPREngine(Engine):
                 collide_cap=self._collide_cap,
                 pos_set=self._pos_set if self._pos_bloom is not None else None,
                 merge_item_scatters=cfg.merge_item_scatters,
+                sampler=cfg.neg_sampler,
             )
             return
         self.params = bpr_ops.sgd_epoch(

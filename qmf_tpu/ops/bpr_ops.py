@@ -603,15 +603,12 @@ def _feistel_bijection(key: jax.Array, m: int, b: int) -> jax.Array:
     return q * (1 << b) + r
 
 
-def _cand_hash(rk: jax.Array, f: jax.Array, n_items: int) -> jax.Array:
-    """Candidate item for slot index f under round key rk (3,) int32.
-
-    A murmur-finalizer-grade 32-bit mixer, then an unbiased-enough
-    multiply-high map onto [0, n_items). MUST stay bit-identical between
-    the presampling program (membership testing) and the in-scan
-    reconstruction (_sgd_epoch_scan_grouped_impl) — the scan stores only a
-    2-bit round index per slot and recomputes the item from it.
-    """
+def _mix32(rk: jax.Array, f: jax.Array) -> jax.Array:
+    """Murmur-finalizer-grade 32-bit mixer of slot index f under round key
+    rk (3,) int32. Shared by :func:`_cand_hash` and :func:`_word_probe`;
+    MUST stay bit-identical between the presampling programs and the
+    in-scan reconstruction (the scan stores only a 2-bit round index per
+    slot and recomputes the candidate item from it)."""
     # the mixer depends on int32 wraparound; x64 mode (or int64 indices
     # from jnp.where) must not change the arithmetic width
     f = jnp.asarray(f, jnp.int32)
@@ -622,8 +619,114 @@ def _cand_hash(rk: jax.Array, f: jax.Array, n_items: int) -> jax.Array:
     x = x ^ (x >> 11)
     x = x * ((rk[2] << 1) | 1)
     x = x ^ (x >> 9)
-    # mod by a STATIC n_items lowers to a mul-shift; bias ~ n_items/2^32
+    return x
+
+
+def _cand_hash(rk: jax.Array, f: jax.Array, n_items: int) -> jax.Array:
+    """Candidate item for slot index f under round key rk (3,) int32,
+    uniform-enough over [0, n_items) (bias ~ n_items/2^32; the mod by a
+    STATIC n_items lowers to a mul-shift)."""
+    x = _mix32(rk, f)
     return (x.astype(jnp.uint32) % jnp.uint32(n_items)).astype(jnp.int32)
+
+
+# In-word probe offsets (mod 32) for the word sampler: slot j's probe
+# round r tests bit (bit0 + _WORD_DELTA[j * (n_rounds-1) + r]) & 31 of the
+# row's ONE gathered bitmap word. Pairwise distinct mod 32, so no two
+# (slot, round) probes of a row can select the same item; spread out, so
+# probes test well-separated bits. Capacity: num_neg * (n_rounds-1) <= 15
+# (checked by word_sampler_applies); beyond it the grouped path falls back
+# to the compacted exact-rejection sampler.
+_WORD_DELTA = (0, 11, 19, 5, 16, 27, 3, 9, 25, 7, 14, 22, 29, 2, 13)
+
+
+def word_sampler_applies(num_neg: int, n_rounds: int) -> bool:
+    """True when the shared-word probe table covers every (slot, round)."""
+    return num_neg * max(n_rounds - 1, 0) <= len(_WORD_DELTA)
+
+
+def _word_probe(rk: jax.Array, row: jax.Array, wpu: int):
+    """(word, bit0) coordinates of stream row ``row``'s shared probe word:
+    word uniform over the user's ``wpu`` bitmap words, bit0 uniform over
+    its 32 bits. ONE word gather per positive serves every (slot, round)
+    probe of that row — slot j's round-r probe tests bit
+    (bit0 + _WORD_DELTA[j*(n_rounds-1)+r]) & 31. Bit-identical contract
+    with the in-scan reconstruction, like :func:`_cand_hash`."""
+    x = _mix32(rk, row)
+    b0 = x & 31
+    w = (
+        jax.lax.shift_right_logical(x, jnp.int32(5)).astype(jnp.uint32)
+        % jnp.uint32(wpu)
+    ).astype(jnp.int32)
+    return w, b0
+
+
+def _word_tail_mask(n_items: int, wpu: int) -> Optional[int]:
+    """int32 mask of the NEVER-VALID bits of a user's last bitmap word
+    (item ids >= n_items), or None when n_items fills the word exactly.
+    The word sampler ORs it in so an invalid bit always reads "member" and
+    is never chosen as a negative."""
+    tail = n_items - 32 * (wpu - 1)
+    if tail >= 32:
+        return None
+    return int(np.int32(np.uint32((0xFFFFFFFF << tail) & 0xFFFFFFFF)))
+
+
+def _sample_rounds_word(
+    rk: jax.Array,  # (R, 3) int32 round keys
+    users: jax.Array,  # (n_rows,) int32 user of each stream row
+    bitmap: PosBitmap,
+    n_items: int,
+    n_rounds: int,
+    num_neg: int,
+):
+    """Single-shared-gather variant of :func:`_sample_rounds`: each
+    positive row gathers ONE bitmap word; slot j's rounds r < n_rounds-1
+    probe bits (b0 + _WORD_DELTA[j*(n_rounds-1)+r]) & 31 of that word; the
+    final round is a fresh per-slot :func:`_cand_hash` candidate accepted
+    UNCHECKED.
+
+    Cost: one (n_rows,) word gather + VPU bit math — no where-compaction,
+    no scatter, no per-round gathers, and num_neg x fewer gathered rows
+    than a per-slot word. (The compaction + per-round gathers dominated
+    the presample program at ML-20M scale — compaction 0.45 s + rounds
+    0.24 s + scatter 0.10 s of a 2.11 s program — and random-gather cost
+    here is per ROW, not per byte: benchmarks/bpr_presample_micro.py.)
+
+    Semantics vs the reference's resample-until-non-positive
+    (BPREngine-inl.h:48-60): probe 0 of slot 0 is exactly uniform over the
+    32*wpu padded id domain (tail-masked); later probes and sibling slots
+    stay within the row's 32-item block (conditionally correlated), and
+    the unchecked last round keeps a positive with probability
+    ~p_collision when reached — overall residual ~p * q^(R-2) * p per
+    slot (p = per-slot collision rate ~0.7% at ml20m, q = in-word
+    conditional rate), vs p^R for the compacted sampler. Within-row slots
+    never collide with each other on probe rounds (_WORD_DELTA offsets are
+    distinct mod 32). Validated end-to-end by benchmarks/bpr_auc_parity.py.
+
+    Returns (rounds (n_rows, num_neg) int32, n_overflow=0) — there is no
+    collision buffer to overflow.
+    """
+    n_rows = users.shape[0]
+    wpu = bitmap.words_per_user
+    zero = jnp.zeros((), jnp.int32)
+    if n_rounds == 1:
+        return jnp.zeros((n_rows, num_neg), jnp.int32), zero
+    row = jnp.arange(n_rows, dtype=jnp.int32)
+    w, b0 = _word_probe(rk[0], row, wpu)
+    word = bitmap.words[users * wpu + w]
+    invalid = _word_tail_mask(n_items, wpu)
+    if invalid is not None:
+        word = jnp.where(w == wpu - 1, word | jnp.int32(invalid), word)
+    cols = []
+    for j in range(num_neg):
+        r_col = jnp.full((n_rows,), n_rounds - 1, jnp.int32)
+        for r in range(n_rounds - 2, -1, -1):
+            bit = (b0 + _WORD_DELTA[j * (n_rounds - 1) + r]) & 31
+            member = (jax.lax.shift_right_logical(word, bit) & 1) == 1
+            r_col = jnp.where(member, r_col, r)
+        cols.append(r_col)
+    return jnp.stack(cols, axis=1), zero
 
 
 def _sample_rounds(
@@ -721,8 +824,8 @@ def _sample_rounds_bloom(
 
 def _sample_pack_grouped_body(
     key: jax.Array,
-    pos_u: jax.Array,  # (n_stream,) int32, n_stream = m * 2**feistel_b
-    pos_i: jax.Array,  # (n_stream,) int32
+    pos_up: jax.Array,  # (n_stream, 2) int32 [user, pos_item] rows,
+    #                     n_stream = m * 2**feistel_b
     bitmap_words: jax.Array,  # exact-bitmap OR bloom words, per `membership`
     n_items: int,
     n_real: int,  # rows < n_real are real positive pairs, >= are padding
@@ -751,21 +854,33 @@ def _sample_pack_grouped_body(
 
     This keeps the scan at TWO wide xs arrays, removes the pos<<15|neg
     item-count ceiling (any int32 item id works), and cuts the shuffled
-    stream from triplet-level to positive-level width.
+    stream from triplet-level to positive-level width. The (user, item)
+    pairs arrive INTERLEAVED as one (n_stream, 2) array so the shuffle is
+    ONE row gather — random-gather cost on this hardware is per gathered
+    ROW, not per byte (benchmarks/bpr_presample_micro.py), and the legacy
+    _sample_pack_impl uses the same layout.
     """
-    n_stream = pos_u.shape[0]
+    n_stream = pos_up.shape[0]
     key, rkey = jax.random.split(key)
     rk = jax.random.randint(rkey, (n_rounds, 3), 0, 1 << 30, dtype=jnp.int32)
     if shuffle:
         key, mkey = jax.random.split(key)
         idx = _feistel_bijection(mkey, n_stream >> feistel_b, feistel_b)
-        u = pos_u[idx]
-        p = pos_i[idx]
+        up = pos_up[idx]
         valid = idx < n_real
     else:
-        u = pos_u
-        p = pos_i
+        up = pos_up
         valid = jnp.arange(n_stream, dtype=jnp.int32) < n_real
+    u = up[:, 0]
+    p = up[:, 1]
+    if membership == "word":
+        rounds_row, n_overflow = _sample_rounds_word(
+            rk, u, PosBitmap(bitmap_words, wpu), n_items, n_rounds, num_neg
+        )
+        enc = (u << u_shift) | valid.astype(jnp.int32)
+        for j in range(num_neg):
+            enc = enc | (rounds_row[:, j] << (1 + 2 * j))
+        return enc, p, rk, n_overflow
     # negative slot index f = row * num_neg + j; users_slots[f] is the
     # user of slot f, so _sample_rounds's f = arange(N_slots) lines up with
     # the scan body's (t * batch + lane) * num_neg + j
@@ -821,6 +936,8 @@ def _sgd_epoch_scan_grouped_body(
     n_rounds: int,
     u_shift: int,
     merge_item_scatters: bool = False,
+    sampler: str = "rounds",
+    wpu: int = 0,
 ) -> BPRParams:
     """Grouped-epoch program 2: minibatch-SGD scan, one row per POSITIVE.
 
@@ -846,17 +963,31 @@ def _sgd_epoch_scan_grouped_body(
         wcol = w[:, None]
         pu = params.user_factors[u]
         qp = params.item_factors[p]
-        base_f = (t * batch_size + lane) * num_neg
+        row_idx = t * batch_size + lane
+        base_f = row_idx * num_neg
         x_p = jnp.einsum("bk,bk->b", pu, qp)
+        if sampler == "word" and n_rounds > 1:
+            w_row, b0_row = _word_probe(rk[0], row_idx, wpu)
         negs, es = [], []
         for j in range(num_neg):
             r_j = jax.lax.shift_right_logical(ue, jnp.int32(1 + 2 * j)) & 3
             f_j = base_f + j
-            neg_j = _cand_hash(rk[0], f_j, n_items)
-            for r in range(1, n_rounds):
-                neg_j = jnp.where(
-                    r_j == r, _cand_hash(rk[r], f_j, n_items), neg_j
-                )
+            if sampler == "word":
+                # shared-word in-word probes for r < n_rounds-1, fresh
+                # per-slot hash for the unchecked final round (must mirror
+                # _sample_rounds_word)
+                neg_j = _cand_hash(rk[n_rounds - 1], f_j, n_items)
+                if n_rounds > 1:
+                    for r in range(n_rounds - 1):
+                        delta = _WORD_DELTA[j * (n_rounds - 1) + r]
+                        cand_r = w_row * 32 + ((b0_row + delta) & 31)
+                        neg_j = jnp.where(r_j == r, cand_r, neg_j)
+            else:
+                neg_j = _cand_hash(rk[0], f_j, n_items)
+                for r in range(1, n_rounds):
+                    neg_j = jnp.where(
+                        r_j == r, _cand_hash(rk[r], f_j, n_items), neg_j
+                    )
             qn_j = params.item_factors[neg_j]
             d_j = x_p - jnp.einsum("bk,bk->b", pu, qn_j)
             if use_biases:
@@ -930,7 +1061,7 @@ def _sgd_epoch_scan_grouped_body(
 
 _GROUPED_SCAN_STATICS = (
     "use_biases", "batch_size", "num_neg", "n_items", "n_rounds", "u_shift",
-    "merge_item_scatters",
+    "merge_item_scatters", "sampler", "wpu",
 )
 _sgd_epoch_scan_grouped_impl = functools.partial(
     jax.jit,
@@ -988,8 +1119,7 @@ def grouped_path_reject_reason(
 def sgd_epoch_grouped(
     params: BPRParams,
     key: jax.Array,
-    pos_u: jax.Array,  # (n_stream,) int32 padded positive-pair stream
-    pos_i: jax.Array,
+    pos_up: jax.Array,  # (n_stream, 2) int32 padded [user, item] pair rows
     bitmap,  # PosBitmap (exact) or PosBloom (needs pos_set for verify)
     lr: jax.Array,
     user_lambda: jax.Array,
@@ -1005,6 +1135,7 @@ def sgd_epoch_grouped(
     collide_cap: int,
     pos_set: Optional[PosSet] = None,
     merge_item_scatters: bool = False,
+    sampler: str = "rounds",
 ):
     """One grouped training epoch: presample+encode, then the grouped scan.
 
@@ -1012,7 +1143,7 @@ def sgd_epoch_grouped(
     collision-buffer overflows (callers should log when nonzero, reading it
     at a point that already syncs).
 
-    Caller contract: pos_u/pos_i are padded to a multiple of batch_size
+    Caller contract: pos_up is padded to a multiple of batch_size
     (a power of two), n_real marks the real prefix length, and
     grouped_path_reject_reason(...) returned None for this configuration.
     """
@@ -1022,10 +1153,14 @@ def sgd_epoch_grouped(
     is_bloom = isinstance(bitmap, PosBloom)
     if is_bloom and pos_set is None:
         raise ValueError("bloom membership requires pos_set for exact verify")
+    use_word = (
+        sampler == "word"
+        and not is_bloom
+        and word_sampler_applies(num_neg, neg_rounds)
+    )
     enc, p, rk, n_overflow = _sample_pack_grouped_impl(
         skey,
-        pos_u,
-        pos_i,
+        pos_up,
         bitmap.words,
         n_items=n_items,
         n_real=n_real,
@@ -1036,7 +1171,8 @@ def sgd_epoch_grouped(
         u_shift=u_shift,
         feistel_b=feistel_b,
         collide_cap=collide_cap,
-        membership="bloom" if is_bloom else "bitmap",
+        membership="word" if use_word
+        else ("bloom" if is_bloom else "bitmap"),
         indptr=pos_set.indptr if is_bloom else None,
         csr_items=pos_set.items if is_bloom else None,
         max_degree=pos_set.max_degree if is_bloom else 0,
@@ -1057,6 +1193,8 @@ def sgd_epoch_grouped(
         n_rounds=neg_rounds,
         u_shift=u_shift,
         merge_item_scatters=merge_item_scatters,
+        sampler="word" if use_word else "rounds",
+        wpu=bitmap.words_per_user if use_word else 0,
     )
     return new_params, n_overflow
 

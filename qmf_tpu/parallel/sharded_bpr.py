@@ -77,8 +77,9 @@ class ShardedBPREngine(BPREngine):
             # batches fall back to the legacy stream
             self._build_triplet_stream()
         if self._grouped:
-            self._grp_users = jax.device_put(self._grp_users, shard)
-            self._grp_items = jax.device_put(self._grp_items, shard)
+            self._grp_up = jax.device_put(
+                self._grp_up, NamedSharding(self.mesh, P(self.axis_name, None))
+            )
             if self._pos_bitmap is not None:
                 self._pos_bitmap = bpr_ops.PosBitmap(
                     jax.device_put(self._pos_bitmap.words, repl),
@@ -129,10 +130,16 @@ class ShardedBPREngine(BPREngine):
             sub, skey = jax.random.split(sub)
             is_bloom = self._pos_bitmap is None
             member = self._pos_bloom if is_bloom else self._pos_bitmap
+            use_word = (
+                cfg.neg_sampler == "word"
+                and not is_bloom
+                and bpr_ops.word_sampler_applies(
+                    cfg.num_negative_samples, cfg.neg_resample_rounds
+                )
+            )
             enc, p, rk, n_overflow = self._grouped_pack_fn(
                 skey,
-                self._grp_users,
-                self._grp_items,
+                self._grp_up,
                 member.words,
                 n_items=self.nitems,
                 n_real=self._n_real_pos,
@@ -143,7 +150,8 @@ class ShardedBPREngine(BPREngine):
                 u_shift=u_shift,
                 feistel_b=self._grp_batch.bit_length() - 1,
                 collide_cap=self._collide_cap,
-                membership="bloom" if is_bloom else "bitmap",
+                membership="word" if use_word
+                else ("bloom" if is_bloom else "bitmap"),
                 indptr=self._pos_set.indptr if is_bloom else None,
                 csr_items=self._pos_set.items if is_bloom else None,
                 max_degree=self._pos_set.max_degree if is_bloom else 0,
@@ -165,6 +173,8 @@ class ShardedBPREngine(BPREngine):
                 n_rounds=cfg.neg_resample_rounds,
                 u_shift=u_shift,
                 merge_item_scatters=cfg.merge_item_scatters,
+                sampler="word" if use_word else "rounds",
+                wpu=member.words_per_user if use_word else 0,
             )
             return
         self.params = self._epoch_fn(

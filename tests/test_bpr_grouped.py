@@ -128,8 +128,7 @@ class TestGroupedPackRoundTrip:
         gi = np.concatenate([i_idx, np.zeros(pad, np.int32)])
         enc, p, rk, overflow = bpr_ops._sample_pack_grouped_impl(
             jax.random.PRNGKey(3),
-            jnp.asarray(gu),
-            jnp.asarray(gi),
+            jnp.stack([jnp.asarray(gu), jnp.asarray(gi)], axis=1),
             bitmap.words,
             n_items=n_items,
             n_real=n_pos,
@@ -170,6 +169,133 @@ class TestGroupedPackRoundTrip:
                         )
         # residual collisions must be rare ((deg/I)^4)
         assert n_bad <= n_pos * num_neg * 0.05
+
+
+class TestWordSamplerRoundTrip:
+    def test_reconstructed_negatives_avoid_positives(self):
+        """membership="word" variant of the round-trip test: decode the
+        packed stream exactly the way the scan body's sampler="word" branch
+        does (per-ROW shared word, slot j's probe r testing bit
+        b0 + _WORD_DELTA[j*(R-1)+r] for r < R-1, fresh unchecked per-slot
+        hash for round R-1) and check the reconstructed negatives."""
+        rng = np.random.default_rng(11)
+        n_users, n_items, n_pos = 50, 75, 800  # 75 -> tail word has 11 bits
+        u_idx = rng.integers(0, n_users, n_pos).astype(np.int32)
+        i_idx = rng.integers(0, n_items, n_pos).astype(np.int32)
+        bitmap = bpr_ops.make_pos_bitmap(u_idx, i_idx, n_users, n_items)
+        wpu = bitmap.words_per_user
+        pos_sets = {}
+        for u, i in zip(u_idx, i_idx):
+            pos_sets.setdefault(int(u), set()).add(int(i))
+
+        num_neg, n_rounds = 3, 4
+        u_shift = 1 + 2 * num_neg
+        bs = 128
+        pad = (-n_pos) % bs
+        gu = np.concatenate([u_idx, np.zeros(pad, np.int32)])
+        gi = np.concatenate([i_idx, np.zeros(pad, np.int32)])
+        enc, p, rk, overflow = bpr_ops._sample_pack_grouped_impl(
+            jax.random.PRNGKey(7),
+            jnp.stack([jnp.asarray(gu), jnp.asarray(gi)], axis=1),
+            bitmap.words,
+            n_items=n_items,
+            n_real=n_pos,
+            num_neg=num_neg,
+            n_rounds=n_rounds,
+            shuffle=True,
+            wpu=wpu,
+            u_shift=u_shift,
+            feistel_b=7,
+            collide_cap=4096,
+            membership="word",
+        )
+        enc, p = np.asarray(enc), np.asarray(p)
+        assert int(overflow) == 0
+        valid = (enc & 1).astype(bool)
+        assert valid.sum() == n_pos
+        users = enc >> u_shift
+        got = sorted(zip(users[valid].tolist(), p[valid].tolist()))
+        want = sorted(zip(u_idx.tolist(), i_idx.tolist()))
+        assert got == want
+
+        rk_np = np.asarray(rk)
+        n_unchecked = 0
+        n_bad_unchecked = 0
+        for row in np.nonzero(valid)[0]:
+            w, b0 = bpr_ops._word_probe(
+                rk_np[0], jnp.asarray(row, jnp.int32), wpu
+            )
+            for j in range(num_neg):
+                r = (enc[row] >> (1 + 2 * j)) & 3
+                f = jnp.asarray(row * num_neg + j, jnp.int32)
+                if r == n_rounds - 1:
+                    # fresh unchecked candidate: may rarely be a positive
+                    cand = int(np.asarray(
+                        bpr_ops._cand_hash(rk_np[r], f, n_items)
+                    ))
+                    n_unchecked += 1
+                    if cand in pos_sets.get(int(users[row]), set()):
+                        n_bad_unchecked += 1
+                else:
+                    delta = bpr_ops._WORD_DELTA[j * (n_rounds - 1) + r]
+                    cand = int(w) * 32 + ((int(b0) + delta) & 31)
+                    # verified probes must be valid item ids and non-members
+                    assert cand < n_items, (row, j, r, cand)
+                    assert cand not in pos_sets.get(int(users[row]), set())
+        # with ~8% per-slot collision density, most slots resolve in-word
+        assert n_unchecked < n_pos * num_neg * 0.5
+        assert n_bad_unchecked <= n_pos * num_neg * 0.05
+
+    def test_engine_learns_through_word_sampler(self):
+        """Statistical check (reference BPREngineTest.cpp:80-157 style):
+        the default word sampler still learns pairwise preferences."""
+        rng = np.random.default_rng(13)
+        n_users, n_items = 24, 48
+        # each user likes a contiguous block of 8 items
+        rows, cols = [], []
+        for u in range(n_users):
+            base = (u * 2) % (n_items - 8)
+            for i in range(8):
+                rows.append(u)
+                cols.append(base + i)
+        ds = Dataset(
+            np.asarray(rows, np.int64),
+            np.asarray(cols, np.int64),
+            np.ones(len(rows), np.float64),
+        )
+        cfg = BPRConfig(
+            nepochs=60,
+            nfactors=8,
+            init_learning_rate=0.1,
+            num_negative_samples=3,
+            batch_size=64,
+            neg_sampler="word",
+            init_seed=3,
+        )
+        eng = BPREngine(cfg)
+        eng.init(ds)
+        assert eng._grouped
+        eng.optimize()
+        scores = np.asarray(
+            eng.params.user_factors @ eng.params.item_factors.T
+        )
+        ok = total = 0
+        for u in range(n_users):
+            ui = eng.user_index.idx(u)
+            base = (u * 2) % (n_items - 8)
+            pos = set(range(base, base + 8))
+            neg = [
+                i for i in range(n_items)
+                if i not in pos and eng.item_index.idx(i) >= 0
+            ][:8]
+            for pi in pos:
+                for ni in neg:
+                    total += 1
+                    ok += (
+                        scores[ui, eng.item_index.idx(pi)]
+                        > scores[ui, eng.item_index.idx(ni)]
+                    )
+        assert ok / total > 0.9
 
 
 class TestBloomMembership:
@@ -490,8 +616,7 @@ class TestMergedScatters:
         u_shift = 1 + 2 * nn
         enc, p, rk, _ = bpr_ops._sample_pack_grouped_impl(
             jax.random.PRNGKey(1),
-            jnp.asarray(pu),
-            jnp.asarray(pi),
+            jnp.stack([jnp.asarray(pu), jnp.asarray(pi)], axis=1),
             bitmap.words,
             n_items=I,
             n_real=n_pos,
