@@ -115,9 +115,13 @@ class BPRConfig:
     # Memory budget (MB) for the dense packed (user, item) membership
     # bitmap used by the hot negative sampler: ONE random gather per
     # candidate instead of ~log2(max_degree) chained binary-search gathers
-    # (measured 6x sampler speedup at ml20m). Above the budget (U*I/8
-    # bytes) the sampler falls back to the scalable CSR search.
-    bitmap_budget_mb: int = 1024
+    # (measured 6x sampler speedup at ml20m), and the enabler of the
+    # shared-word sampler. The bitmap lives in device HBM (sparse-built
+    # on device, so host/transfer cost scales with nnz not U*I); 4 GB
+    # covers ~34G (user, item) cells — e.g. 200k x 100k catalogs with
+    # room to spare on a 16 GB chip. Above the budget (U*I/8 bytes) the
+    # sampler falls back to blocked-Bloom membership + exact CSR verify.
+    bitmap_budget_mb: int = 4096
     # Grouped packed epochs (one scan row per positive, negatives
     # reconstructed from 2-bit round indices — ops/bpr_ops.py
     # sgd_epoch_grouped). Preconditions checked by grouped_path_reject_reason;

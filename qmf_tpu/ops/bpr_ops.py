@@ -116,7 +116,22 @@ def make_pos_bitmap(
     starts = np.concatenate(
         [[0], np.nonzero(np.diff(word_idx))[0] + 1]
     ) if len(word_idx) else np.zeros(0, dtype=np.int64)
-    words = np.zeros(n_users * wpu, dtype=np.uint32)
+    n_words = n_users * wpu
+    if len(word_idx) and len(starts) * 8 < n_words * 4:
+        # sparse device-side build: ship only the distinct (word, bits)
+        # pairs and scatter-set into device zeros — host memory and
+        # transfer scale with nnz, not U*I (a 200k x 100k catalog's dense
+        # bitmap is 2.5 GB; its distinct words are ~160 MB). Indices are
+        # unique after the reduceat, so scatter-set has no duplicates.
+        uniq_idx = word_idx[starts].astype(np.int32)  # < 2^31 (guard above)
+        uniq_bits = np.bitwise_or.reduceat(bit, starts).view(np.int32)
+        words = (
+            jnp.zeros(n_words, dtype=jnp.int32)
+            .at[jnp.asarray(uniq_idx)]
+            .set(jnp.asarray(uniq_bits))
+        )
+        return PosBitmap(words, wpu)
+    words = np.zeros(n_words, dtype=np.uint32)
     if len(word_idx):
         words[word_idx[starts]] = np.bitwise_or.reduceat(bit, starts)
     return PosBitmap(jnp.asarray(words.view(np.int32)), wpu)

@@ -236,3 +236,172 @@ def solve_spd(
         a.transpose(1, 2, 0), b.T, tb=tb, interpret=interpret
     )
     return x_t.T[:bsz, :k]
+
+
+# ---------------------------------------------------------------------------
+# Fused normal-equation BUILD + factor + solve
+# ---------------------------------------------------------------------------
+#
+# The WALS half-epoch's HBM traffic on the XLA path is dominated by
+# round-trips the math never needed: the gathered factor stream (N, D, k)
+# is written by the gather, read twice by the A/b einsums, and the stacked
+# A (N, k, k) is written by the build and read back by the solve — ~14 GB
+# per ML-20M user side against a ~3.3 GB information-theoretic floor
+# (benchmarks/wals_build_micro.py: the build runs AT the measured ~115 GB/s
+# effective bandwidth of this part, and sequential indices are no faster
+# than random ones, so bytes — not gather addressing — are the bound).
+#
+# This kernel consumes the gathered stream ONCE and keeps each tile's A
+# entirely in VMEM: grid (row tiles x D blocks); step (i, j) accumulates
+#   A[t] += sum_d w[t, d] * yg[t, d, :] (x) yg[t, d, :]   (MXU, f32 accum)
+#   b[t] += sum_d conf[t, d] * yg[t, d, :]
+# into scratch/output blocks that persist across the j axis, and the last
+# j step transposes to batch-last and runs the rank-1 factor+solve core.
+# HBM: one read of yg/w/conf, one write of x and b. Replaces
+# _build_bucket + solve (reference hot loop qmf/wals/WALSEngine.cpp:266-310).
+
+
+def _build_solve_kernel(ytyl_ref, yg_ref, w_ref, conf_ref, x_ref, b_ref,
+                        a_nat, at_ref, xt_ref):
+    j = pl.program_id(1)
+    nd = pl.num_programs(1)
+    tb, _, k = yg_ref.shape
+
+    @pl.when(j == 0)
+    def _init():
+        # start from YtY + lam*I (the dense Gramian term of Hu-Koren A)
+        a_nat[...] = jnp.broadcast_to(ytyl_ref[...], a_nat.shape)
+        b_ref[...] = jnp.zeros_like(b_ref)
+
+    def body(t, carry):
+        yg_t = yg_ref[t]  # (bd, k) bf16
+        # minor-dim insertion must happen on the f32 value (Mosaic only
+        # supports non-no-op minor reshapes for 32-bit types); the bf16
+        # cast AFTER matches the DEFAULT-precision einsum's rounding
+        w_t = w_ref[t][:, None].astype(jnp.bfloat16)  # (bd, 1)
+        conf_t = conf_ref[t][None, :].astype(jnp.bfloat16)  # (1, bd)
+        wy = yg_t * w_t
+        a_nat[t] = a_nat[t] + jax.lax.dot_general(
+            wy, yg_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        b_ref[t] = b_ref[t] + jax.lax.dot_general(
+            conf_t, yg_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[0]
+        return carry
+
+    jax.lax.fori_loop(0, tb, body, 0)
+
+    @pl.when(j == nd - 1)
+    def _solve():
+        for r in range(k):
+            at_ref[:, r, :] = jnp.transpose(a_nat[:, r, :], (1, 0))
+        xt_ref[...] = jnp.transpose(b_ref[...], (1, 0))
+        _factor_solve_core(at_ref, xt_ref)
+        x_ref[...] = jnp.transpose(xt_ref[...], (1, 0))
+
+
+def _vmem_bytes(shape, itemsize):
+    """VMEM footprint of a block: minor dim pads to 128 lanes, second-minor
+    to the dtype's sublane multiple (8 f32 / 16 bf16). With k=64 this
+    DOUBLES any k-minor buffer — the padding, not the nominal size, is
+    what the 16 MB scoped-vmem stack limit sees."""
+    s = list(shape)
+    s[-1] = -(-s[-1] // 128) * 128
+    if len(s) >= 2:
+        sub = 8 * (4 // itemsize)
+        s[-2] = -(-s[-2] // sub) * sub
+    out = itemsize
+    for v in s:
+        out *= v
+    return out
+
+
+def _build_tiles(n: int, d: int, k: int):
+    """(TB, BD) grid tiles for the fused build+solve kernel.
+
+    BD: the largest divisor of d that is <= 256 (width classes are
+    2^a or 3*2^a, so this always exists and is itself 2^a or 3*2^a).
+    TB: the largest power of two whose full padded VMEM footprint
+    (double-buffered in/out blocks + the three scratches) fits a 14 MB
+    budget — 2 MB headroom under the 16 MB scoped-vmem stack limit.
+    """
+    bd = d
+    while bd > 256:
+        bd //= 2
+    budget = 14 * 1024 * 1024
+    tb = 256
+    while tb > 8:
+        need = (
+            2 * _vmem_bytes((tb, bd, k), 2)      # yg, double-buffered
+            + 4 * _vmem_bytes((tb, bd), 4)       # w + conf, double-buffered
+            + _vmem_bytes((tb, k, k), 4)         # a_nat scratch
+            + _vmem_bytes((k, k, tb), 4)         # at scratch
+            + _vmem_bytes((k, tb), 4)            # xt scratch
+            + 4 * _vmem_bytes((tb, k), 4)        # x + b out, double-buffered
+            + 2 * _vmem_bytes((k, k), 4)         # ytyl
+        )
+        if need <= budget:
+            break
+        tb //= 2
+    return tb, bd
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def build_solve(
+    yg: jax.Array,  # (N, D, k) bf16 gathered fixed-factor rows
+    w: jax.Array,  # (N, D) f32 confidence-minus-one weights (alpha*v*mask)
+    conf: jax.Array,  # (N, D) f32 confidences (mask + w)
+    ytyl: jax.Array,  # (k, k) f32 YtY + lam*I
+    interpret: bool = False,
+):
+    """Fused Hu-Koren build + Cholesky solve: returns (x (N, k), b (N, k)).
+
+    Rows are independent; callers pad N to a tile multiple with zero
+    w/conf rows (their A is YtY + lam*I, SPD, solved and discarded).
+    """
+    n, d, k = yg.shape
+    if k % _NB:
+        raise ValueError(f"k={k} must be a multiple of {_NB}")
+    tb, bd = _build_tiles(n, d, k)
+    if d % bd:
+        raise ValueError(f"width {d} not a multiple of block {bd}")
+    pad = (-n) % tb
+    if pad:
+        yg = jnp.pad(yg, ((0, pad), (0, 0), (0, 0)))
+        w = jnp.pad(w, ((0, pad), (0, 0)))
+        conf = jnp.pad(conf, ((0, pad), (0, 0)))
+    npad = n + pad
+    grid = (npad // tb, d // bd)
+    x, b = pl.pallas_call(
+        _build_solve_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((k, k), lambda i, j: (0, 0)),
+            pl.BlockSpec((tb, bd, k), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((tb, bd), lambda i, j: (i, j)),
+            pl.BlockSpec((tb, bd), lambda i, j: (i, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((tb, k), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((npad, k), jnp.float32),
+            jax.ShapeDtypeStruct((npad, k), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tb, k, k), jnp.float32),
+            pltpu.VMEM((k, k, tb), jnp.float32),
+            pltpu.VMEM((k, tb), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=npad * d * (k * k + k) * 2
+            + npad * (k * k * k // 3 + 2 * k * k),
+            bytes_accessed=npad * d * (k * 2 + 8) + 2 * npad * k * 4,
+            transcendentals=npad * k,
+        ),
+        interpret=interpret,
+    )(ytyl, yg, w, conf)
+    return x[:n], b[:n]

@@ -295,6 +295,25 @@ class TestBPROptimize:
             truth[j] = (u, i) in pairs
         np.testing.assert_array_equal(bmp, truth)
 
+    def test_sparse_device_bitmap_build_matches_dense(self):
+        """Sparse catalogs take the device-side scatter-set build path
+        (distinct-word pairs smaller than the dense array); it must produce
+        bit-identical words to the dense host build."""
+        rng = np.random.default_rng(21)
+        n_users, n_items = 64, 4000  # wpu=125, 8000 words dense
+        users = rng.integers(0, n_users, 300).astype(np.int32)
+        items = rng.integers(0, n_items, 300).astype(np.int32)
+        # condition for the sparse path in make_pos_bitmap
+        assert 300 * 8 < n_users * ((n_items + 31) // 32) * 4
+        got = np.asarray(
+            bpr_ops.make_pos_bitmap(users, items, n_users, n_items).words
+        ).view(np.uint32)
+        wpu = (n_items + 31) // 32
+        want = np.zeros(n_users * wpu, np.uint32)
+        for u, i in zip(users.tolist(), items.tolist()):
+            want[u * wpu + (i >> 5)] |= np.uint32(1) << np.uint32(i & 31)
+        np.testing.assert_array_equal(got, want)
+
     def test_sampler_bitmap_rejects_positives(self):
         rng = np.random.default_rng(13)
         n_users, n_items = 20, 40  # dense enough that collisions are likely

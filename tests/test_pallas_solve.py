@@ -109,3 +109,116 @@ class TestPallasSolve:
         np.testing.assert_allclose(
             np.asarray(loss_p), np.asarray(loss_c), rtol=1e-4
         )
+
+
+class TestFusedBuildSolve:
+    def _oracle(self, y, col_idx, values, mask, alpha, lam):
+        """f64 reference: per-row Hu-Koren normal equations + solve."""
+        n, d = col_idx.shape
+        k = y.shape[1]
+        y64 = y.astype(np.float64)
+        yty = y64.T @ y64
+        xs, bs = [], []
+        for r in range(n):
+            a = yty + lam * np.eye(k)
+            b = np.zeros(k)
+            for c in range(d):
+                if not mask[r, c]:
+                    continue
+                w = alpha * values[r, c]
+                yj = y64[col_idx[r, c]]
+                a = a + w * np.outer(yj, yj)
+                b = b + (1.0 + w) * yj
+            xs.append(np.linalg.solve(a, b))
+            bs.append(b)
+        return np.asarray(xs), np.asarray(bs)
+
+    @pytest.mark.parametrize("n,d", [(8, 8), (24, 16)])
+    def test_matches_dense_oracle(self, n, d):
+        rng = np.random.default_rng(n * 100 + d)
+        k = 16
+        n_items = 40
+        y = rng.normal(0, 0.3, (n_items, k)).astype(np.float32)
+        col_idx = rng.integers(0, n_items, (n, d)).astype(np.int32)
+        values = rng.uniform(0.5, 4.0, (n, d)).astype(np.float32)
+        mask = (rng.uniform(size=(n, d)) < 0.8)
+        alpha, lam = 40.0, 0.05
+        maskf = mask.astype(np.float32)
+        w = alpha * values * maskf
+        conf = maskf + w
+        y_bf = jnp.asarray(y).astype(jnp.bfloat16)
+        ytyl = (
+            jnp.asarray(y).T @ jnp.asarray(y)
+            + lam * jnp.eye(k, dtype=jnp.float32)
+        )
+        x, b = pallas_solve.build_solve(
+            y_bf[jnp.asarray(col_idx)],
+            jnp.asarray(w),
+            jnp.asarray(conf),
+            ytyl,
+            interpret=True,
+        )
+        x_want, b_want = self._oracle(y, col_idx, values, mask, alpha, lam)
+        # vs the exact f64 oracle the error budget is the bf16 stream and
+        # bf16-rounded weights: ~0.4% of the ABSOLUTE-term sum
+        # (d * conf_max * |y| ~ 7e2), which dominates cancelled b entries
+        np.testing.assert_allclose(np.asarray(b), b_want, rtol=2e-2, atol=3.0)
+        np.testing.assert_allclose(np.asarray(x), x_want, rtol=5e-2, atol=5e-2)
+        # vs the XLA DEFAULT-precision build + f32 solve (the same bf16
+        # rounding, different accumulation order) the match is tight
+        from qmf_tpu.ops import als_ops, linalg
+
+        yty = jnp.asarray(y).T @ jnp.asarray(y)
+        a_x, b_x, _ = als_ops._build_bucket(
+            jnp.asarray(y), yty, jnp.asarray(col_idx),
+            jnp.asarray(values), jnp.asarray(mask),
+            jnp.asarray(alpha, jnp.float32), jnp.asarray(lam, jnp.float32),
+            "default",
+        )
+        x_x = linalg.solve_spd(a_x, b_x)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(b_x),
+                                   rtol=5e-3, atol=5e-3)
+        # x differs from the XLA path only through rounding of the bf16
+        # A-products (interpret mode rounds each product to bf16; XLA CPU
+        # upcasts first), amplified per element by cond(A) — elementwise
+        # x comparison is meaningless at high weights (the XLA x itself
+        # strays equally far from the f64 oracle there). The stable
+        # acceptance is the residual against XLA's A: ||Ax - b|| / ||b||.
+        del x_x
+        res = np.asarray(
+            jnp.einsum("bkl,bl->bk", a_x, jnp.asarray(x)) - b_x
+        )
+        rel = np.linalg.norm(res, axis=1) / np.linalg.norm(
+            np.asarray(b_x), axis=1
+        )
+        assert rel.max() < 5e-3, rel
+
+    def test_row_padding_and_d_blocking(self):
+        """N not a tile multiple and D > the block size both work; padded
+        rows solve against YtY + lam*I and are sliced off."""
+        rng = np.random.default_rng(9)
+        k, n, d, n_items = 8, 12, 512, 30  # bd = 256 -> 2 D blocks
+        y = rng.normal(0, 0.3, (n_items, k)).astype(np.float32)
+        col_idx = rng.integers(0, n_items, (n, d)).astype(np.int32)
+        values = rng.uniform(0.5, 2.0, (n, d)).astype(np.float32)
+        mask = (rng.uniform(size=(n, d)) < 0.1)
+        maskf = mask.astype(np.float32)
+        w = 40.0 * values * maskf
+        conf = maskf + w
+        ytyl = (
+            jnp.asarray(y).T @ jnp.asarray(y)
+            + 0.05 * jnp.eye(k, dtype=jnp.float32)
+        )
+        x, b = pallas_solve.build_solve(
+            jnp.asarray(y).astype(jnp.bfloat16)[jnp.asarray(col_idx)],
+            jnp.asarray(w),
+            jnp.asarray(conf),
+            ytyl,
+            interpret=True,
+        )
+        assert x.shape == (n, k) and b.shape == (n, k)
+        x_want, b_want = self._oracle(y, col_idx, values, mask, 40.0, 0.05)
+        # bf16 rounding ~0.4% of the absolute-term sum (~51 active terms
+        # x conf~81 x |y|~0.3 ~ 1.2e3) dominates cancelled entries
+        np.testing.assert_allclose(np.asarray(b), b_want, rtol=2e-2, atol=5.0)
+        np.testing.assert_allclose(np.asarray(x), x_want, rtol=5e-2, atol=5e-2)
