@@ -273,7 +273,12 @@ def _build_solve_kernel(ytyl_ref, yg_ref, w_ref, conf_ref, x_ref, b_ref,
         a_nat[...] = jnp.broadcast_to(ytyl_ref[...], a_nat.shape)
         b_ref[...] = jnp.zeros_like(b_ref)
 
-    def body(t, carry):
+    # static unroll over the tile's rows: every VMEM slab offset is a
+    # compile-time constant (a dynamic fori_loop index forces Mosaic into
+    # dynamic-sublane addressing on each read/write, which measured ~25%
+    # SLOWER than the split XLA path; unrolled the same math issues as
+    # straight-line independent MXU ops)
+    for t in range(tb):
         yg_t = yg_ref[t]  # (bd, k) bf16
         # minor-dim insertion must happen on the f32 value (Mosaic only
         # supports non-no-op minor reshapes for 32-bit types); the bf16
@@ -289,9 +294,6 @@ def _build_solve_kernel(ytyl_ref, yg_ref, w_ref, conf_ref, x_ref, b_ref,
             conf_t, yg_t, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )[0]
-        return carry
-
-    jax.lax.fori_loop(0, tb, body, 0)
 
     @pl.when(j == nd - 1)
     def _solve():
@@ -327,10 +329,17 @@ def _build_tiles(n: int, d: int, k: int):
     (double-buffered in/out blocks + the three scratches) fits a 14 MB
     budget — 2 MB headroom under the 16 MB scoped-vmem stack limit.
     """
-    bd = d
-    while bd > 256:
-        bd //= 2
-    budget = 14 * 1024 * 1024
+    # Mosaic requires a block's minor dim to be a multiple of 128 or the
+    # full array dim: d <= 256 stays unblocked; wider widths (2^a or
+    # 3*2^a, so divisible by 256 or by 128) block at 256 or 128.
+    if d <= 256:
+        bd = d
+    else:
+        bd = 256 if d % 256 == 0 else 128
+    # the unrolled build loop's straight-line Mosaic code needs ~2-4 MB of
+    # stack temporaries beyond the modeled buffers (measured: the 14 MB
+    # model OOMed the 16 MB scoped-vmem limit by 2.04 MB)
+    budget = 10 * 1024 * 1024
     tb = 256
     while tb > 8:
         need = (
