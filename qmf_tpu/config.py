@@ -76,6 +76,15 @@ class WALSConfig:
     # transferring those. "auto" enables it for float32 runs on non-CPU
     # backends; True/False force it.
     device_pack: bool | str = "auto"
+    # Hot/cold split build (ops/hot.py): the contribution of each side's H
+    # hottest fixed-side columns rides dense MXU GEMMs against static
+    # per-row weight matrices instead of per-entry factor-row gathers
+    # (random gathers cost ~3.4 ns/row here regardless of width, so the
+    # power-law head dominates the build). "auto" picks H per side from
+    # the degree-distribution cost model on f32 accelerator runs (0 when a
+    # flat distribution wouldn't pay, 0 on CPU/f64 golden runs); an int
+    # forces the same H on both sides; 0 disables.
+    hot_width: int | str = "auto"
 
 
 @dataclasses.dataclass

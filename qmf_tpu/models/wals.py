@@ -31,6 +31,7 @@ from qmf_tpu.data.factor_io import FactorData
 from qmf_tpu.data.id_index import IdIndex
 from qmf_tpu.models.engine import Engine
 from qmf_tpu.ops import als_ops
+from qmf_tpu.ops import hot as hot_ops
 from qmf_tpu.ops.packing import (
     Bucket,
     chunks_for_classes,
@@ -77,6 +78,11 @@ class WALSEngine(Engine):
         self.item_factors: Optional[jax.Array] = None  # (I, k) device
         self._user_buckets: Optional[DeviceBuckets] = None
         self._item_buckets: Optional[DeviceBuckets] = None
+        # hot/cold split state per side: (hot_col_ids, per-class
+        # (W_a, W_b, conf_hot)) or None (ops/hot.py). The sharded engine
+        # keeps these None (hot arrays are not shard-annotated yet).
+        self._user_hot = None
+        self._item_hot = None
         self.test_users: Optional[np.ndarray] = None
         self.test_labels: Optional[np.ndarray] = None
         if (
@@ -118,6 +124,105 @@ class WALSEngine(Engine):
             )
         return bool(dp)
 
+    def _resolve_hot_width(self, col_degrees: np.ndarray,
+                           n_build_rows: int) -> int:
+        """Resolve the hot_width knob for one side's build (0 = no split)."""
+        hw = self.config.hot_width
+        if hw == "auto":
+            if self.dtype != jnp.float32 or jax.default_backend() == "cpu":
+                return 0
+            return hot_ops.auto_hot_width(
+                col_degrees, n_build_rows, self.config.nfactors,
+                store_bytes=2 if self._hot_store_dtype() == jnp.bfloat16
+                else self.dtype.itemsize,
+            )
+        return int(hw)
+
+    def _hot_store_dtype(self):
+        """Storage dtype for the static hot weight matrices W_a/W_b: bf16
+        when the build matmuls run single-pass bf16 anyway, else the
+        engine dtype (exact for golden/highest runs)."""
+        if (
+            self.dtype == jnp.float32
+            and self.config.matmul_precision == "default"
+        ):
+            return jnp.bfloat16
+        return self.dtype
+
+    def _pack_side_device(self, r32, c32, vals_d, rows_np, cols_np,
+                          n_rows, n_cols, deg_rows, deg_cols, h):
+        """Device-pack one side's build arrays, optionally hot/cold split.
+
+        Returns (class_arrays, plans, hot_state). With ``h > 0`` the side's
+        packed stream carries only entries whose column is OUTSIDE the top-h
+        hot set; the hot entries become static dense per-row weight matrices
+        (ops/hot.py) and ride MXU GEMMs in the build instead of gathers.
+        """
+        from qmf_tpu.ops import device_pack
+
+        cfg = self.config
+        if h <= 0:
+            arrays, plans = device_pack.pack_width_classes_device(
+                r32, c32, vals_d, n_rows, deg_rows, cfg.batch_rows,
+                width_grid=cfg.width_grid,
+            )
+            return arrays, plans, None
+        hot_ids = hot_ops.top_hot_columns(deg_cols, h)
+        h = len(hot_ids)
+        col_rank = hot_ops.rank_lookup(hot_ids, n_cols)
+        is_hot_np = col_rank[cols_np] < h
+        cold_deg = np.bincount(rows_np[~is_hot_np], minlength=n_rows)
+        cold_nnz = int((~is_hot_np).sum())
+        col_rank_dev = jnp.asarray(col_rank)
+        presorted, hot_coo = device_pack.split_sorted_csr(
+            r32, c32, vals_d, col_rank_dev[c32] < h, n_rows, cold_nnz
+        )
+        arrays, plans = device_pack.pack_width_classes_device(
+            r32, c32, vals_d, n_rows, cold_deg, cfg.batch_rows,
+            width_grid=cfg.width_grid, active_mask=deg_rows > 0,
+            presorted=presorted,
+        )
+        hot_classes = hot_ops.build_hot_classes(
+            hot_coo[0], hot_coo[1], hot_coo[2], col_rank_dev,
+            [p.row_ids for p in plans], n_rows, h,
+            cfg.confidence_weight, self.dtype, self._hot_store_dtype(),
+        )
+        return arrays, plans, (
+            jnp.asarray(hot_ids.astype(np.int32)), hot_classes
+        )
+
+    def _pack_side_host(self, rows_np, cols_np, vals_np, n_rows, n_cols,
+                        deg_rows, deg_cols, h):
+        """Host-pack one side (optionally hot/cold split) — the CPU/f64
+        golden path, and the correctness oracle for the split build."""
+        cfg = self.config
+        if h <= 0:
+            classes = pack_width_classes(
+                rows_np, cols_np, vals_np, n_rows, cfg.batch_rows,
+                width_grid=cfg.width_grid,
+            )
+            return classes, None
+        hot_ids = hot_ops.top_hot_columns(deg_cols, h)
+        h = len(hot_ids)
+        col_rank = hot_ops.rank_lookup(hot_ids, n_cols)
+        is_hot = col_rank[cols_np] < h
+        classes = pack_width_classes(
+            rows_np[~is_hot], cols_np[~is_hot], np.asarray(vals_np)[~is_hot],
+            n_rows, cfg.batch_rows, width_grid=cfg.width_grid,
+            active_mask=deg_rows > 0,
+        )
+        hot_classes = hot_ops.build_hot_classes(
+            jnp.asarray(rows_np[is_hot].astype(np.int32)),
+            jnp.asarray(cols_np[is_hot].astype(np.int32)),
+            jnp.asarray(np.asarray(vals_np)[is_hot], dtype=self.dtype),
+            jnp.asarray(col_rank),
+            [b.row_ids for b in classes], n_rows, h,
+            cfg.confidence_weight, self.dtype, self._hot_store_dtype(),
+        )
+        return classes, (
+            jnp.asarray(hot_ids.astype(np.int32)), hot_classes
+        )
+
     # --- lifecycle -----------------------------------------------------------
     def init(self, dataset: Dataset) -> None:
         if self.user_factors is not None or self.item_factors is not None:
@@ -140,22 +245,24 @@ class WALSEngine(Engine):
         cols = self.item_index.lookup(dataset.item_ids)
 
         t0 = time.time()
+        deg_u = np.bincount(rows, minlength=self.nusers)
+        deg_i = np.bincount(cols, minlength=self.nitems)
+        h_user = self._resolve_hot_width(deg_i, int((deg_u > 0).sum()))
+        h_item = self._resolve_hot_width(deg_u, int((deg_i > 0).sum()))
         if self._use_device_pack():
-            from qmf_tpu.ops import device_pack
-
             rows32 = jnp.asarray(rows.astype(np.int32))
             cols32 = jnp.asarray(cols.astype(np.int32))
             vals_d = jnp.asarray(dataset.values, dtype=self.dtype)
-            deg_u = np.bincount(rows, minlength=self.nusers)
-            deg_i = np.bincount(cols, minlength=self.nitems)
-            u_arrays, u_plans = device_pack.pack_width_classes_device(
-                rows32, cols32, vals_d, self.nusers, deg_u, cfg.batch_rows,
-                width_grid=cfg.width_grid,
+            u_arrays, u_plans, self._user_hot = self._pack_side_device(
+                rows32, cols32, vals_d, rows, cols, self.nusers, self.nitems,
+                deg_u, deg_i, h_user,
             )
-            i_arrays, i_plans = device_pack.pack_width_classes_device(
-                cols32, rows32, vals_d, self.nitems, deg_i, cfg.batch_rows,
-                width_grid=cfg.width_grid,
+            i_arrays, i_plans, self._item_hot = self._pack_side_device(
+                cols32, rows32, vals_d, cols, rows, self.nitems, self.nusers,
+                deg_i, deg_u, h_item,
             )
+            from qmf_tpu.ops import device_pack
+
             self._user_buckets = DeviceBuckets(
                 row_ids=[a[0] for a in u_arrays],
                 col_idx=[a[1] for a in u_arrays],
@@ -171,26 +278,29 @@ class WALSEngine(Engine):
             self._user_chunks = [p.chunk_b for p in u_plans]
             self._item_chunks = [p.chunk_b for p in i_plans]
             log.info(
-                "device-packed %d ratings: users %s, items %s (%.2fs)",
+                "device-packed %d ratings: users %s, items %s "
+                "hot=(%d,%d) (%.2fs)",
                 len(dataset),
                 device_pack.plan_stats(u_plans, len(dataset)),
                 device_pack.plan_stats(i_plans, len(dataset)),
+                h_user, h_item,
                 time.time() - t0,
             )
         else:
-            user_classes = pack_width_classes(
-                rows, cols, dataset.values, self.nusers, cfg.batch_rows,
-                width_grid=cfg.width_grid,
+            user_classes, self._user_hot = self._pack_side_host(
+                rows, cols, dataset.values, self.nusers, self.nitems,
+                deg_u, deg_i, h_user,
             )
-            item_classes = pack_width_classes(
-                cols, rows, dataset.values, self.nitems, cfg.batch_rows,
-                width_grid=cfg.width_grid,
+            item_classes, self._item_hot = self._pack_side_host(
+                cols, rows, dataset.values, self.nitems, self.nusers,
+                deg_i, deg_u, h_item,
             )
             log.info(
-                "packed %d ratings: users %s, items %s (%.2fs)",
+                "packed %d ratings: users %s, items %s hot=(%d,%d) (%.2fs)",
                 len(dataset),
                 packed_stats(user_classes),
                 packed_stats(item_classes),
+                h_user, h_item,
                 time.time() - t0,
             )
             self._user_buckets = DeviceBuckets.from_host(
@@ -233,10 +343,10 @@ class WALSEngine(Engine):
         cfg = self.config
         if side == "user":
             fixed, buckets, n = self.item_factors, self._user_buckets, self.nusers
-            chunks = self._user_chunks
+            chunks, hot = self._user_chunks, self._user_hot
         else:
             fixed, buckets, n = self.user_factors, self._item_buckets, self.nitems
-            chunks = self._item_chunks
+            chunks, hot = self._item_chunks, self._item_hot
         arrays = [
             (buckets.row_ids[i], buckets.col_idx[i], buckets.values[i],
              buckets.mask[i])
@@ -253,6 +363,7 @@ class WALSEngine(Engine):
             solver=self._solver,
             dtype=self.dtype,
             precision=cfg.matmul_precision,
+            hot=hot,
         )
         if side == "user":
             self.user_factors = new_factors
@@ -286,6 +397,8 @@ class WALSEngine(Engine):
             user_chunks=tuple(self._user_chunks),
             item_chunks=tuple(self._item_chunks),
             class_solve=cfg.class_solve,
+            user_hot=self._user_hot,
+            item_hot=self._item_hot,
         )
         self.user_factors = u_new
         self.item_factors = v_new
@@ -324,6 +437,8 @@ class WALSEngine(Engine):
             item_chunks=tuple(self._item_chunks),
             nepochs=nepochs,
             class_solve=cfg.class_solve,
+            user_hot=self._user_hot,
+            item_hot=self._item_hot,
         )
         self.user_factors = u_new
         self.item_factors = v_new

@@ -111,9 +111,36 @@ _PRECISION_BY_NAME = {
 }
 
 
-def _build_bucket(y, yty, col_idx, values, mask, alpha, lam, precision):
+def hot_tables(y_hot: jax.Array, precision: str):
+    """Per-side precompute for the hot-column dense build: the rank-1
+    "outer-product table" Z (H, k*k) with Z[h] = vec(y_h y_h^T), plus the
+    cast fixed-side hot rows. One tiny VPU pass per half-epoch; the GEMM
+    ``W_a @ Z`` then reconstructs every row's hot normal-equation term
+    entirely on the MXU (see _build_bucket)."""
+    if precision == "default" and y_hot.dtype == jnp.float32:
+        yh = y_hot.astype(jnp.bfloat16)
+    else:
+        yh = y_hot
+    h, k = yh.shape
+    z = (yh[:, :, None] * yh[:, None, :]).reshape(h, k * k)
+    return yh, z
+
+
+def _build_bucket(y, yty, col_idx, values, mask, alpha, lam, precision,
+                  hot=None, y_hot=None, z=None):
     """Normal-equation build for one padded bucket: (A (B,k,k), b (B,k),
-    conf_sum (B,)) — the gather + MXU einsum stage, no solve."""
+    conf_sum (B,)) — the gather + MXU einsum stage, no solve.
+
+    When ``hot`` is given, the bucket's rows additionally carry dense
+    weights over the side's H hottest fixed columns (the power-law head):
+    ``hot = (w_a (B,H), w_b (B,H), conf_hot (B,))`` with w_a = alpha*r,
+    w_b = 1 + alpha*r (0 where unobserved; both static across epochs), and
+    the hot contribution is two GEMMs — A += (w_a @ Z).reshape(B,k,k) and
+    b += w_b @ y_hot — instead of per-entry factor-row gathers. Random row
+    gathers on this hardware cost ~3.4 ns/row regardless of width
+    (benchmarks/gather_micro.py), so moving the nnz-heavy head onto the MXU
+    is the difference between gather-issue-bound and compute-bound builds.
+    """
     prec = _PRECISION_BY_NAME.get(precision, jax.lax.Precision.HIGHEST)
     dtype = y.dtype
     maskf = mask.astype(dtype)
@@ -153,7 +180,18 @@ def _build_bucket(y, yty, col_idx, values, mask, alpha, lam, precision):
             + jnp.einsum("bdk,bd,bdl->bkl", yg, w, yg, precision=prec)
             + lam * jnp.eye(yty.shape[0], dtype=dtype)
         )
-    return a, b, jnp.sum(conf, axis=1)
+    conf_sum = jnp.sum(conf, axis=1)
+    if hot is not None:
+        w_a, w_b, conf_hot = hot
+        k = yty.shape[0]
+        a = a + jnp.matmul(
+            w_a, z, precision=prec, preferred_element_type=dtype
+        ).reshape(-1, k, k)
+        b = b + jnp.matmul(
+            w_b, y_hot, precision=prec, preferred_element_type=dtype
+        )
+        conf_sum = conf_sum + conf_hot
+    return a, b, conf_sum
 
 
 def _solve_dispatch(a, b, solver):
@@ -195,11 +233,12 @@ def _loss_from_solution(x, b, conf_sum, lam):
 
 
 def _solve_bucket_body(
-    y, yty, col_idx, values, mask, alpha, lam, solver, precision="highest"
+    y, yty, col_idx, values, mask, alpha, lam, solver, precision="highest",
+    hot=None, y_hot=None, z=None,
 ):
     """Untraced body of solve_bucket (shared by the fused half-epoch)."""
     a, b, conf_sum = _build_bucket(
-        y, yty, col_idx, values, mask, alpha, lam, precision
+        y, yty, col_idx, values, mask, alpha, lam, precision, hot, y_hot, z
     )
     x = _solve_dispatch(a, b, solver)
     return x, _loss_from_solution(x, b, conf_sum, lam)
@@ -242,8 +281,22 @@ half_epoch = functools.partial(jax.jit, static_argnames=("solver", "n_rows"))(
 )
 
 
+def _chunk_hot(hot_cls, n_chunks, chunk_b):
+    """Reshape one class's hot arrays into lax.scan operands."""
+    if hot_cls is None:
+        return None
+    w_a, w_b, conf_hot = hot_cls
+    h = w_a.shape[1]
+    return (
+        w_a.reshape(n_chunks, chunk_b, h),
+        w_b.reshape(n_chunks, chunk_b, h),
+        conf_hot.reshape(n_chunks, chunk_b),
+    )
+
+
 def _scan_class(y, yty, row_ids, col_idx, values, mask, alpha, lam, x_out,
-                loss_in, solver, chunk_b, precision):
+                loss_in, solver, chunk_b, precision, hot_cls=None,
+                y_hot=None, z=None):
     """Scan one width class's chunks into (x_out, loss). Shared body."""
     n_chunks = row_ids.shape[0] // chunk_b
     d = col_idx.shape[1]
@@ -251,24 +304,25 @@ def _scan_class(y, yty, row_ids, col_idx, values, mask, alpha, lam, x_out,
     col_c = col_idx.reshape(n_chunks, chunk_b, d)
     val_c = values.reshape(n_chunks, chunk_b, d)
     mask_c = mask.reshape(n_chunks, chunk_b, d)
+    hot_c = _chunk_hot(hot_cls, n_chunks, chunk_b)
 
     def body(carry, inp):
         x_acc, loss = carry
-        ids, col, val, m = inp
+        ids, col, val, m, hot = inp
         x, l = _solve_bucket_body(
-            y, yty, col, val, m, alpha, lam, solver, precision
+            y, yty, col, val, m, alpha, lam, solver, precision, hot, y_hot, z
         )
         x_acc = x_acc.at[ids].set(x, mode="drop")
         return (x_acc, loss + jnp.sum(l)), None
 
     (x_out, loss), _ = jax.lax.scan(
-        body, (x_out, loss_in), (ids_c, col_c, val_c, mask_c)
+        body, (x_out, loss_in), (ids_c, col_c, val_c, mask_c, hot_c)
     )
     return x_out, loss
 
 
 def _scan_class_build(y, yty, col_idx, values, mask, alpha, lam, chunk_b,
-                      precision):
+                      precision, hot_cls=None, y_hot=None, z=None):
     """Scan one width class's chunks through the BUILD stage only, stacking
     the per-row normal equations: returns (A (N,k,k), b (N,k), conf (N,))."""
     n_chunks = col_idx.shape[0] // chunk_b
@@ -276,12 +330,17 @@ def _scan_class_build(y, yty, col_idx, values, mask, alpha, lam, chunk_b,
     col_c = col_idx.reshape(n_chunks, chunk_b, d)
     val_c = values.reshape(n_chunks, chunk_b, d)
     mask_c = mask.reshape(n_chunks, chunk_b, d)
+    hot_c = _chunk_hot(hot_cls, n_chunks, chunk_b)
 
     def body(_, inp):
-        col, val, m = inp
-        return None, _build_bucket(y, yty, col, val, m, alpha, lam, precision)
+        col, val, m, hot = inp
+        return None, _build_bucket(
+            y, yty, col, val, m, alpha, lam, precision, hot, y_hot, z
+        )
 
-    _, (a_s, b_s, conf_s) = jax.lax.scan(body, None, (col_c, val_c, mask_c))
+    _, (a_s, b_s, conf_s) = jax.lax.scan(
+        body, None, (col_c, val_c, mask_c, hot_c)
+    )
     k = y.shape[1]
     return (
         a_s.reshape(-1, k, k),
@@ -291,7 +350,7 @@ def _scan_class_build(y, yty, col_idx, values, mask, alpha, lam, chunk_b,
 
 
 def _solve_side(y, class_arrays, chunk_sizes, n_rows, alpha, lam, solver,
-                precision, class_solve=True):
+                precision, class_solve=True, hot=None):
     """All width classes of one side inside a single trace.
 
     class_solve=True (default) runs the three stages at SIDE granularity:
@@ -307,13 +366,20 @@ def _solve_side(y, class_arrays, chunk_sizes, n_rows, alpha, lam, solver,
     yty = gramian(y)
     x_out = jnp.zeros((n_rows, y.shape[1]), dtype=y.dtype)
     loss = jnp.zeros((), dtype=y.dtype)
+    if hot is not None:
+        hot_ids, hot_classes = hot
+        y_hot, z = hot_tables(y[hot_ids], precision)
+    else:
+        hot_classes = [None] * len(class_arrays)
+        y_hot = z = None
     if class_solve:
         parts = [
             _scan_class_build(
-                y, yty, col_idx, values, mask, alpha, lam, chunk_b, precision
+                y, yty, col_idx, values, mask, alpha, lam, chunk_b, precision,
+                hot_cls, y_hot, z,
             )
-            for (_, col_idx, values, mask), chunk_b in zip(
-                class_arrays, chunk_sizes
+            for (_, col_idx, values, mask), chunk_b, hot_cls in zip(
+                class_arrays, chunk_sizes, hot_classes
             )
         ]
         if solver == "pallas":
@@ -336,12 +402,12 @@ def _solve_side(y, class_arrays, chunk_sizes, n_rows, alpha, lam, solver,
         loss = loss + jnp.sum(_loss_from_solution(x, b, conf_sum, lam))
         x_out = x_out.at[row_ids].set(x, mode="drop")
     else:
-        for (row_ids, col_idx, values, mask), chunk_b in zip(
-            class_arrays, chunk_sizes
+        for (row_ids, col_idx, values, mask), chunk_b, hot_cls in zip(
+            class_arrays, chunk_sizes, hot_classes
         ):
             x_out, loss = _scan_class(
                 y, yty, row_ids, col_idx, values, mask, alpha, lam, x_out,
-                loss, solver, chunk_b, precision,
+                loss, solver, chunk_b, precision, hot_cls, y_hot, z,
             )
     return x_out, loss
 
@@ -360,6 +426,8 @@ def train_epoch_impl(
     user_chunks: Tuple[int, ...],
     item_chunks: Tuple[int, ...],
     class_solve: bool = True,
+    user_hot=None,  # (hot_ids, [per-class (w_a, w_b, conf_hot)]) or None
+    item_hot=None,
 ):
     """One FULL WALS epoch (both half-epochs) as a single device program.
 
@@ -373,11 +441,11 @@ def train_epoch_impl(
     del user_factors  # recomputed from scratch each epoch (reference zeroes)
     u_new, loss_u = _solve_side(
         item_factors, user_arrays, user_chunks, n_users, alpha, lam, solver,
-        precision, class_solve,
+        precision, class_solve, user_hot,
     )
     v_new, loss_v = _solve_side(
         u_new, item_arrays, item_chunks, n_items, alpha, lam, solver,
-        precision, class_solve,
+        precision, class_solve, item_hot,
     )
     return u_new, v_new, loss_u, loss_v
 
@@ -412,6 +480,8 @@ def train_epochs_impl(
     item_chunks: Tuple[int, ...],
     nepochs: int,
     class_solve: bool = True,
+    user_hot=None,
+    item_hot=None,
 ):
     """The WHOLE training run (``nepochs`` full epochs) as ONE device program.
 
@@ -429,11 +499,11 @@ def train_epochs_impl(
         _, v = carry
         u_new, _ = _solve_side(
             v, user_arrays, user_chunks, n_users, alpha, lam, solver,
-            precision, class_solve,
+            precision, class_solve, user_hot,
         )
         v_new, loss_v = _solve_side(
             u_new, item_arrays, item_chunks, n_items, alpha, lam, solver,
-            precision, class_solve,
+            precision, class_solve, item_hot,
         )
         return (u_new, v_new), loss_v
 
@@ -473,6 +543,9 @@ def width_class_solve_impl(
     solver: str,
     chunk_b: int,
     precision: str = "highest",
+    hot_cls=None,
+    y_hot=None,
+    z=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Solve one width class by lax.scan over fixed-size chunks.
 
@@ -483,7 +556,7 @@ def width_class_solve_impl(
     """
     return _scan_class(
         y, yty, row_ids, col_idx, values, mask, alpha, lam, x_out, loss_in,
-        solver, chunk_b, precision,
+        solver, chunk_b, precision, hot_cls, y_hot, z,
     )
 
 
@@ -506,6 +579,7 @@ def iterate_side_classes(
     solve_fn=None,
     x_init=None,
     precision: str = "highest",
+    hot=None,
 ) -> Tuple[jax.Array, float]:
     """One half-epoch over width classes (one dispatch per class)."""
     if solve_fn is None:
@@ -520,7 +594,15 @@ def iterate_side_classes(
     loss = jnp.zeros((), dtype=y.dtype)
     alpha = jnp.asarray(alpha, dtype=dtype)
     lam = jnp.asarray(lam, dtype=dtype)
-    for (row_ids, col_idx, values, mask), chunk_b in zip(classes, chunk_sizes):
+    if hot is not None:
+        hot_ids, hot_classes = hot
+        y_hot, z = hot_tables(y[hot_ids], precision)
+    else:
+        hot_classes = [None] * len(classes)
+        y_hot = z = None
+    for (row_ids, col_idx, values, mask), chunk_b, hot_cls in zip(
+        classes, chunk_sizes, hot_classes
+    ):
         x_out, loss = solve_fn(
             y,
             yty,
@@ -535,6 +617,9 @@ def iterate_side_classes(
             solver=solver,
             chunk_b=chunk_b,
             precision=precision,
+            hot_cls=hot_cls,
+            y_hot=y_hot,
+            z=z,
         )
     return x_out, float(loss)
 

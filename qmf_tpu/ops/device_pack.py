@@ -56,14 +56,22 @@ def plan_width_classes(
     min_width: int = 8,
     row_multiple: int = 8,
     width_grid: str = "pow2",
+    active_mask: np.ndarray | None = None,
 ) -> List[ClassPlan]:
     """Plan width classes from per-row degrees alone (no COO sort needed).
 
     Replicates ``pack_width_classes``'s splitting: active rows stable-sorted
     by padded width, split at width boundaries, row count padded to a chunk
     multiple with the ``n_rows`` sentinel.
+
+    ``active_mask`` overrides which rows must appear in some class: the
+    hot/cold split build (ops/hot.py) packs only COLD entries, but a row
+    whose entries are all hot (cold degree 0) still needs its solve slot —
+    it lands in the min-width class with a fully-masked signal list.
     """
-    active = np.nonzero(degrees > 0)[0]
+    active = np.nonzero(
+        degrees > 0 if active_mask is None else active_mask
+    )[0]
     if len(active) == 0:
         return []
     widths = pad_widths(degrees[active], min_width, width_grid)
@@ -123,6 +131,41 @@ def sorted_csr(
     return cols_s, vals_s, indptr
 
 
+@functools.partial(jax.jit, static_argnames=("n_rows", "cold_nnz"))
+def split_sorted_csr(
+    rows: jax.Array,  # (nnz,) int32 dense row indices
+    cols: jax.Array,  # (nnz,) int32 dense col indices
+    vals: jax.Array,  # (nnz,) f32/f64
+    is_hot: jax.Array,  # (nnz,) bool — entry's column is in the hot set
+    n_rows: int,
+    cold_nnz: int,  # host-counted size of the cold block (static shape)
+) -> Tuple[Tuple[jax.Array, jax.Array, jax.Array],
+           Tuple[jax.Array, jax.Array, jax.Array]]:
+    """One sort that yields BOTH halves of the hot/cold split (ops/hot.py).
+
+    Folding the hot flag into the row key (row + n_rows * is_hot) makes a
+    single stable (key, col) sort produce the cold entries as a
+    (row, col)-sorted prefix — sliced at the host-known ``cold_nnz`` — and
+    the hot entries as a suffix, with no second device sort or host-side
+    filtering/transfer. Returns ``((cold cols_s, vals_s, indptr),
+    (hot rows, cols, vals))``; the cold triple feeds
+    ``pack_width_classes_device(presorted=...)`` unchanged.
+    """
+    key = rows + jnp.where(is_hot, jnp.int32(n_rows), jnp.int32(0))
+    key_s, cols_s, vals_s = jax.lax.sort(
+        (key, cols, vals), num_keys=2, is_stable=True
+    )
+    cold_cols, cold_vals = cols_s[:cold_nnz], vals_s[:cold_nnz]
+    indptr = jnp.searchsorted(
+        key_s[:cold_nnz], jnp.arange(n_rows + 1, dtype=key_s.dtype),
+        side="left",
+    )
+    hot_rows = key_s[cold_nnz:] - jnp.int32(n_rows)
+    return (cold_cols, cold_vals, indptr), (
+        hot_rows, cols_s[cold_nnz:], vals_s[cold_nnz:]
+    )
+
+
 def _gather_classes_body(cols_s, vals_s, indptr_ext, degrees_ext, row_ids_list,
                          widths):
     """Build every width class's padded arrays in one traced program.
@@ -155,6 +198,8 @@ def pack_width_classes_device(
     min_width: int = 8,
     row_multiple: int = 8,
     width_grid: str = "pow2",
+    active_mask: np.ndarray | None = None,
+    presorted=None,  # optional (cols_s, vals_s, indptr) from split_sorted_csr
 ):
     """Device-packed equivalent of ``packing.pack_width_classes``.
 
@@ -163,11 +208,20 @@ def pack_width_classes_device(
     packer's output, plus the host-side plans (for chunk sizes / stats).
     """
     plans = plan_width_classes(
-        degrees, n_rows, batch_rows, min_width, row_multiple, width_grid
+        degrees, n_rows, batch_rows, min_width, row_multiple, width_grid,
+        active_mask=active_mask,
     )
     if not plans:
         return [], plans
-    cols_s, vals_s, indptr = sorted_csr(rows, cols, vals, n_rows)
+    if presorted is not None:
+        cols_s, vals_s, indptr = presorted
+    else:
+        cols_s, vals_s, indptr = sorted_csr(rows, cols, vals, n_rows)
+    if cols_s.shape[0] == 0:
+        # every entry was hot: keep one masked sentinel so the padded
+        # gathers below have a valid (fully ignored) source element
+        cols_s = jnp.zeros((1,), dtype=cols_s.dtype)
+        vals_s = jnp.zeros((1,), dtype=vals_s.dtype)
     indptr_ext = indptr[:-1]  # start offsets, (n_rows,)
     # append sentinel entries at index n_rows: degree 0, start 0
     indptr_ext = jnp.concatenate(

@@ -181,6 +181,7 @@ def pack_width_classes(
     row_multiple: int = 8,
     dtype=np.float64,
     width_grid: str = "pow2",
+    active_mask: np.ndarray | None = None,
 ) -> List[Bucket]:
     """Pack COO ratings into ONE padded array set per width class.
 
@@ -199,8 +200,18 @@ def pack_width_classes(
     cols = np.asarray(cols, dtype=np.int64)
     vals = np.asarray(vals, dtype=np.float64)
     cols_s, vals_s, indptr, degrees = group_rows(rows, cols, vals, n_rows)
+    if len(cols_s) == 0:
+        # every entry was hot (see ops/hot.py): keep one sentinel element so
+        # the fully-masked padded gathers below have a valid source
+        cols_s = np.zeros(1, dtype=np.int64)
+        vals_s = np.zeros(1, dtype=np.float64)
 
-    active = np.nonzero(degrees > 0)[0]
+    # active_mask overrides which rows get a solve slot (the hot/cold split
+    # packs cold entries only; all-hot rows arrive with cold degree 0 and
+    # land in the min-width class fully masked — see ops/hot.py).
+    active = np.nonzero(
+        degrees > 0 if active_mask is None else active_mask
+    )[0]
     if len(active) == 0:
         return []
     widths = pad_widths(degrees[active], min_width, width_grid)
