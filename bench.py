@@ -49,6 +49,7 @@ BASELINE_REPS = int(os.environ.get("QMF_BENCH_BASELINE_REPS", "3"))
 BPR_NFACTORS = int(os.environ.get("QMF_BENCH_BPR_NFACTORS", "30"))
 BPR_NUM_NEG = int(os.environ.get("QMF_BENCH_BPR_NUM_NEG", "3"))
 BPR_BATCH = int(os.environ.get("QMF_BENCH_BPR_BATCH", "32768"))
+WIDTH_GRID = os.environ.get("QMF_BENCH_WIDTH_GRID", "")  # default: config's
 SKIP_BPR = os.environ.get("QMF_BENCH_SKIP_BPR", "") == "1"
 
 
@@ -224,6 +225,7 @@ def main() -> None:
         init_seed=0,
         batch_rows=int(os.environ.get("QMF_BENCH_BATCH_ROWS", "8192")),
         matmul_precision=PRECISION,
+        **({"width_grid": WIDTH_GRID} if WIDTH_GRID else {}),
     )
     engine = WALSEngine(cfg)
     t_init = time.time()

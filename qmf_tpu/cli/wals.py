@@ -81,6 +81,12 @@ def make_flags() -> Flags:
     )
     fl.define_integer("batch_rows", 4096, "max rows per device solve batch")
     fl.define_string(
+        "width_grid",
+        "pow2_15",
+        "degree-class padding grid: pow2 | pow2_15 (1.5x points) | pow2_q "
+        "(quarter points; highest fill, most compiled shapes)",
+    )
+    fl.define_string(
         "matmul_precision",
         "highest",
         "MXU precision for normal-equation builds: highest | default (bf16)",
@@ -115,6 +121,7 @@ def main(argv=None) -> int:
         solver=fl.solver,
         batch_rows=fl.batch_rows,
         matmul_precision=fl.matmul_precision,
+        width_grid=fl.width_grid,
         init_seed=fl.init_seed,
     )
     metrics_config = MetricsConfig(

@@ -64,7 +64,10 @@ class WALSConfig:
     # Degree-class padding grid: "pow2" pads each row's signal list to the
     # next power of two (fill ~0.70 on MovieLens-20M); "pow2_15" adds the
     # 1.5x points (8,12,16,24,32,48,...) — fill ~0.83, i.e. ~16% less padded
-    # build work, at ~2x the compiled width-class shapes.
+    # build work, at ~2x the compiled width-class shapes; "pow2_q" adds the
+    # quarter points (8,10,12,14,16,20,...) — fill ~0.92 at ~4x the shapes
+    # (the build's gather stream costs per padded ROW, so fill buys epoch
+    # time at the price of compile time).
     width_grid: str = "pow2_15"
     # Random seed for item-factor init when distribution_file is empty.
     # The reference draws from std::random_device (non-deterministic,

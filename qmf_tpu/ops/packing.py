@@ -93,7 +93,11 @@ def pad_widths(
     width_grid "pow2" uses 8,16,32,… (fill ~0.70 on MovieLens-20M power-law
     degrees); "pow2_15" interleaves 1.5x points — 8,12,16,24,32,48,… —
     raising fill to ~0.83 at ~2x the class count (2x the compiled einsum
-    shapes, same scan-chunk rule).
+    shapes, same scan-chunk rule); "pow2_q" interleaves quarter points —
+    8,10,12,14,16,20,24,28,32,… — fill ~0.92 at ~4x the class count. The
+    build's gather stream costs ~3.4 ns per padded ROW regardless of width
+    (benchmarks/gather_micro.py), so fill directly buys epoch time; the
+    price is more compiled einsum shapes in the fused epoch program.
     """
     deg = np.maximum(np.asarray(degrees, dtype=np.int64), 1)
     p2 = np.int64(1) << np.ceil(np.log2(deg)).astype(np.int64)  # >= deg
@@ -101,6 +105,11 @@ def pad_widths(
     if width_grid == "pow2_15":
         w34 = (3 * w) // 4  # the 1.5*pow2 point below each pow2
         w = np.where(w34 >= deg, np.maximum(w34, min_width), w)
+    elif width_grid == "pow2_q":
+        # smallest of {5/8, 3/4, 7/8, 1}*p2 still >= deg (descending tries)
+        for num in (7, 6, 5):
+            wq = (num * p2) // 8
+            w = np.where(wq >= deg, np.maximum(wq, min_width), w)
     elif width_grid != "pow2":
         raise ValueError(f"unknown width_grid: {width_grid}")
     return w

@@ -15,7 +15,12 @@ from qmf_tpu.config import WALSConfig
 from qmf_tpu.data.dataset import Dataset
 from qmf_tpu.models.wals import WALSEngine
 from qmf_tpu.ops import als_ops
-from qmf_tpu.ops.packing import group_rows, pack_buckets, packed_stats
+from qmf_tpu.ops.packing import (
+    group_rows,
+    pack_buckets,
+    packed_stats,
+    pad_widths,
+)
 
 
 def _toy_dataset():
@@ -76,6 +81,56 @@ class TestPacking:
         r0 = rows == 0
         expect = sorted(zip(cols[r0].tolist(), vals[r0].tolist()))
         assert sorted(seen[0]) == [(c, pytest.approx(v)) for c, v in expect]
+
+    def test_pad_widths_grids(self):
+        rng = np.random.default_rng(5)
+        deg = np.concatenate(
+            [[1, 7, 8, 9, 10, 11, 13, 17, 24, 25, 512, 513, 897],
+             rng.integers(1, 3000, 500)]
+        )
+        for grid, points in [
+            ("pow2", {1.0}),
+            ("pow2_15", {0.75, 1.0}),
+            ("pow2_q", {5 / 8, 6 / 8, 7 / 8, 1.0}),
+        ]:
+            w = pad_widths(deg, min_width=8, width_grid=grid)
+            assert (w >= deg).all() and (w >= 8).all()
+            # each width is a grid point: f * 2^i with f in points
+            p2 = np.int64(1) << np.ceil(np.log2(w)).astype(np.int64)
+            assert set((w / p2).tolist()) <= points
+            # minimality: the next grid point down would be < deg (or < min)
+            for d, wi in zip(deg, w):
+                lower = max(
+                    [int(f * (1 << i)) for f in points for i in range(14)
+                     if int(f * (1 << i)) < wi],
+                    default=0,
+                )
+                assert lower < d or lower < 8
+        # finer grids never pad more
+        w2 = pad_widths(deg, width_grid="pow2")
+        w15 = pad_widths(deg, width_grid="pow2_15")
+        wq = pad_widths(deg, width_grid="pow2_q")
+        assert (wq <= w15).all() and (w15 <= w2).all()
+
+    def test_width_grid_equivalent_factors_f64(self):
+        # the padding grid is a layout choice; it must not change the math
+        rng = np.random.default_rng(11)
+        users = rng.integers(1, 80, 1200)
+        items = rng.integers(1, 50, 1200)
+        ds = Dataset(users, items, rng.integers(1, 6, 1200).astype(float))
+        outs = []
+        for grid in ("pow2", "pow2_15", "pow2_q"):
+            eng = WALSEngine(
+                WALSConfig(
+                    nepochs=2, nfactors=6, init_seed=4, dtype="float64",
+                    width_grid=grid,
+                )
+            )
+            eng.init(ds)
+            eng.optimize()
+            outs.append(np.asarray(eng.user_factors))
+        np.testing.assert_allclose(outs[0], outs[1], rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(outs[0], outs[2], rtol=1e-12, atol=1e-12)
 
     def test_pack_power_law_fill_ratio(self):
         # power-law degrees: bucketed padding must stay reasonably dense
