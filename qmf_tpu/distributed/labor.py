@@ -40,6 +40,11 @@ class Labor:
         self.last_result: Optional[Dict[str, Any]] = None
         self._writer: Optional[asyncio.StreamWriter] = None
         self._worker_task: Optional[asyncio.Task] = None
+        # pid of the currently-running worker subprocess (None when idle);
+        # exposed for ops/tests (e.g. fault-injection kills a live worker)
+        self.worker_pid: Optional[int] = None
+        # taskid of a task_prepare that arrived while busy (acked on exit)
+        self._pending_prepare: Optional[int] = None
 
     async def run(self) -> None:
         """Connect, attach, then serve heartbeats/announcements forever."""
@@ -83,10 +88,14 @@ class Labor:
             log.info("task %d announced", self.taskid)
             return None
         if kind == "task_prepare":
-            # readiness ack (quorum phase); decline if still busy
+            # readiness ack (quorum phase); if still busy, remember the
+            # prepare and ack the moment the worker exits (closes the race
+            # where a retry's prepare lands while the failed worker is
+            # still being reaped — the scheduler's quorum window is open)
             if self._worker_task is not None and not self._worker_task.done():
+                self._pending_prepare = msg.get("taskid", 0)
                 log.warning(
-                    "task %s prepare ignored: worker busy", msg.get("taskid")
+                    "task %s prepare deferred: worker busy", msg.get("taskid")
                 )
                 return None
             return {"kind": "task_ready", "taskid": msg.get("taskid", 0)}
@@ -105,21 +114,47 @@ class Labor:
             return None
         return None
 
+    def _on_progress(self, prog: Dict[str, Any]) -> None:
+        """Forward the worker's per-epoch progress to the scheduler (the
+        reference's mid-epoch progress reports, RunOneTask.cpp:208-212) and
+        keep the local heartbeat state current."""
+        self.epoch = prog.get("epoch", self.epoch)
+        if self._writer is not None:
+            try:
+                self._writer.write(
+                    protocol.encode_frame({"kind": "progress", **prog})
+                )
+            except (ConnectionError, RuntimeError):
+                pass
+
     async def _run_worker(self, msg: Dict[str, Any]) -> None:
         from qmf_tpu.distributed.scheduler import run_worker_subprocess
         from qmf_tpu.distributed.taskdef import TaskDef
 
         taskid = msg.get("taskid", 0)
+        holder: Dict[str, Any] = {}
+
+        def _spawned():
+            self.worker_pid = holder.get("pid")
+
         try:
             td = TaskDef.from_dict(msg["task"])
-            result = await run_worker_subprocess(
+            coro = run_worker_subprocess(
                 td,
                 taskid=taskid,
                 coordinator=msg["coordinator"],
                 num_processes=msg["num_processes"],
                 process_id=msg["process_id"],
                 n_local_devices=msg.get("n_local_devices", 0),
+                proc_holder=holder,
+                on_progress=self._on_progress,
             )
+            task = asyncio.ensure_future(coro)
+            # expose the pid as soon as the subprocess exists
+            while not task.done() and "pid" not in holder:
+                await asyncio.sleep(0.01)
+            _spawned()
+            result = await task
             self.last_result = result
             reply = {"kind": "task_done", "taskid": taskid, "rc": 0}
         except Exception as e:  # worker failures must not kill the agent
@@ -130,8 +165,16 @@ class Labor:
                 "rc": 1,
                 "error": str(e)[-500:],
             }
+        finally:
+            self.worker_pid = None
         if self._writer is not None:
             try:
                 await protocol.write_frame(self._writer, reply)
+                if self._pending_prepare is not None:
+                    pending, self._pending_prepare = self._pending_prepare, None
+                    await protocol.write_frame(
+                        self._writer,
+                        {"kind": "task_ready", "taskid": pending},
+                    )
             except (ConnectionError, RuntimeError):
                 pass

@@ -71,6 +71,8 @@ class Scheduler:
         coordinator_host: str = "127.0.0.1",
         n_local_devices: int = 0,
         prepare_timeout: float = 10.0,
+        task_retries: int = 2,
+        worker_timeout: float = 3600.0,
     ):
         self.host = host
         self.port = port
@@ -88,10 +90,26 @@ class Scheduler:
         self.coordinator_host = coordinator_host
         self.n_local_devices = n_local_devices
         self.prepare_timeout = prepare_timeout
+        # how many times a failed/timed-out multi-process attempt is retried
+        # (each retry re-runs the quorum with the currently-attached labors
+        # and resumes from the shared per-epoch checkpoint)
+        self.task_retries = task_retries
+        # hard wall per multi-process attempt (last-resort backstop behind
+        # the active failure signals above)
+        self.worker_timeout = worker_timeout
         self._ready_taskid = 0
         self._ready_peers: set = set()
         self._ready_event: Optional[asyncio.Event] = None
         self._done_peers: Dict[str, Dict[str, Any]] = {}
+        # set when any labor reports task_done rc != 0 for the current task
+        # (a broken rendezvous hangs the survivors; this is the active
+        # failure-detection signal that triggers kill + retry)
+        self._fail_event: Optional[asyncio.Event] = None
+        # peers participating in the in-flight multi-process attempt; if one
+        # of THEM detaches or is heartbeat-dropped, the rendezvous is just
+        # as broken as on an rc!=0 report (the labor host died entirely, so
+        # no task_done will ever arrive) — same fail signal
+        self._active_peers: set = set()
 
     # --- lifecycle ---------------------------------------------------------
     async def start(self) -> None:
@@ -135,7 +153,19 @@ class Scheduler:
             if peer in self.labors:
                 del self.labors[peer]
                 log.info("labor %s detached (%d left)", peer, len(self.labors))
+                self._notice_labor_loss(peer)
             writer.close()
+
+    def _notice_labor_loss(self, peer: str) -> None:
+        """A labor left; if it was part of the in-flight multi-process
+        attempt, flag the attempt failed (its worker died with its host —
+        no task_done will arrive; reference analog: buckets of dead labors
+        get reassigned, RunOneTask.cpp:177-240)."""
+        if peer in self._active_peers and self._fail_event is not None:
+            log.warning(
+                "labor %s lost mid-run — aborting the attempt for retry", peer
+            )
+            self._fail_event.set()
 
     async def _dispatch(
         self, msg: Dict[str, Any], peer: str, writer: asyncio.StreamWriter
@@ -173,6 +203,24 @@ class Scheduler:
                 msg.get("taskid"),
                 msg.get("rc"),
             )
+            if (
+                msg.get("rc", 0) != 0
+                and self.current is not None
+                and msg.get("taskid") == self.current.get("taskid")
+                and self._fail_event is not None
+            ):
+                self._fail_event.set()
+            return None
+        if kind == "progress":
+            # mid-task observability (per-bucket progress analog, reference
+            # RunOneTask.cpp:208-212): labors forward their worker's
+            # per-epoch progress; status_rsp exposes it live
+            if peer in self.labors:
+                self.labors[peer].epoch = msg.get("epoch", 0)
+                self.labors[peer].taskid = msg.get(
+                    "taskid", self.labors[peer].taskid
+                )
+            self._record_progress(peer, msg)
             return None
         if kind == "status":
             return {
@@ -259,8 +307,59 @@ class Scheduler:
             self.labors.pop(peer, None)
         return sent
 
+    def _record_progress(self, who: str, prog: Dict[str, Any]) -> None:
+        """Attach per-worker progress to the running task (status_rsp shows
+        it live); `who` is a labor peer or "scheduler" for process 0."""
+        if self.current is not None and prog.get("taskid") == self.current.get(
+            "taskid"
+        ):
+            self.current.setdefault("progress", {})[who] = {
+                "epoch": prog.get("epoch", 0),
+                "nepochs": prog.get("nepochs", 0),
+                "loss": prog.get("loss"),
+                "wall_s": prog.get("wall_s"),
+            }
+
     async def _run_multiproc(self, td: TaskDef, taskid: int) -> Dict[str, Any]:
-        """Two-phase multi-process training over scheduler + labors.
+        """Fault-tolerant multi-process training: run attempts until one
+        succeeds (up to 1 + task_retries). Every attempt checkpoints per
+        epoch to a shared directory keyed by taskid and auto-resumes from
+        LATEST, so a killed worker costs at most one epoch — the recovery
+        semantics of the reference's per-bucket reassignment + stale-state
+        re-push (RunOneTask.cpp:177-240, Connection.cpp:307-413), with the
+        epoch as the recovery unit. The final attempt's failure propagates.
+        """
+        from qmf_tpu.distributed.worker import default_ckpt_dir
+
+        last_err: Optional[Exception] = None
+        for attempt in range(1 + self.task_retries):
+            if attempt:
+                log.warning(
+                    "task %d: attempt %d failed (%s) — retrying with %d "
+                    "attached labors (resume from checkpoint)",
+                    taskid, attempt, last_err, len(self.labors),
+                )
+            try:
+                result = await self._run_multiproc_once(td, taskid)
+                result["attempts"] = attempt + 1
+                # task finished: the per-epoch recovery state is obsolete
+                import shutil
+
+                shutil.rmtree(
+                    default_ckpt_dir(td, taskid), ignore_errors=True
+                )
+                return result
+            except Exception as e:  # noqa: BLE001 — every attempt may fail
+                last_err = e
+        raise RuntimeError(
+            f"task {taskid} failed after {1 + self.task_retries} attempts: "
+            f"{last_err}"
+        )
+
+    async def _run_multiproc_once(
+        self, td: TaskDef, taskid: int
+    ) -> Dict[str, Any]:
+        """One attempt of two-phase multi-process training.
 
         Phase 1 (readiness/quorum, reference RunOneTask.cpp:91-107): announce
         `task_prepare`, wait up to prepare_timeout for acks; require at least
@@ -268,7 +367,10 @@ class Scheduler:
         Phase 2: assign process ids, send `task_start` with the
         jax.distributed coordinator address, and run this process's worker
         as process 0; every process co-executes the sharded SPMD program
-        (qmf_tpu/distributed/worker.py).
+        (qmf_tpu/distributed/worker.py). If any labor reports a failed
+        worker mid-run, process 0's worker is killed immediately (the
+        rendezvous is broken; survivors would hang on collectives) and the
+        attempt raises for the retry loop.
         """
         import socket as _socket
 
@@ -316,6 +418,8 @@ class Scheduler:
             coordinator,
             ready,
         )
+        self._fail_event = asyncio.Event()
+        self._active_peers = set(ready)
         for i, peer in enumerate(ready):
             await self._broadcast(
                 {
@@ -329,14 +433,44 @@ class Scheduler:
                 },
                 peers=[peer],
             )
-        result = await run_worker_subprocess(
-            td,
-            taskid=taskid,
-            coordinator=coordinator,
-            num_processes=num_processes,
-            process_id=0,
-            n_local_devices=self.n_local_devices,
+        holder: Dict[str, Any] = {}
+        worker = asyncio.create_task(
+            run_worker_subprocess(
+                td,
+                taskid=taskid,
+                coordinator=coordinator,
+                num_processes=num_processes,
+                process_id=0,
+                n_local_devices=self.n_local_devices,
+                timeout=self.worker_timeout,
+                proc_holder=holder,
+                on_progress=lambda p: self._record_progress("scheduler", p),
+            )
         )
+        fail = asyncio.create_task(self._fail_event.wait())
+        try:
+            done, _ = await asyncio.wait(
+                {worker, fail}, return_when=asyncio.FIRST_COMPLETED
+            )
+            if worker not in done:
+                # a labor's worker died: the rendezvous is broken and the
+                # survivors (incl. our process 0) would hang on the next
+                # collective — kill ours and let the retry loop recover
+                proc = holder.get("proc")
+                if proc is not None and proc.returncode is None:
+                    proc.kill()
+                try:
+                    await worker
+                except Exception:  # noqa: BLE001 — expected: we killed it
+                    pass
+                raise RuntimeError(
+                    "a labor worker failed mid-task; rendezvous aborted"
+                )
+            result = await worker
+        finally:
+            fail.cancel()
+            self._fail_event = None
+            self._active_peers = set()
         result["labors"] = ready
         return result
 
@@ -381,6 +515,7 @@ class Scheduler:
             for peer in dead:
                 log.warning("labor %s dead, dropping", peer)
                 del self.labors[peer]
+                self._notice_labor_loss(peer)
 
 
 async def run_worker_subprocess(
@@ -391,12 +526,19 @@ async def run_worker_subprocess(
     process_id: int,
     n_local_devices: int = 0,
     timeout: float = 3600.0,
+    proc_holder: Optional[Dict[str, Any]] = None,
+    on_progress=None,
 ) -> Dict[str, Any]:
     """Spawn one training worker process and await its result JSON.
 
     A fresh subprocess per task because a jax.distributed rendezvous is
     once-per-process-lifetime (the reference kept long-lived labors because
     its protocol was stateless per bucket; ours binds a process group).
+
+    ``proc_holder`` (if given) receives {"proc": Process, "pid": int} as
+    soon as the worker is spawned, so the caller can kill it on external
+    failure signals. ``on_progress`` (if given) is called with each new
+    per-epoch progress dict the worker writes (see worker.run_worker).
     """
     import json
     import sys
@@ -408,6 +550,7 @@ async def run_worker_subprocess(
         json.dump(td.to_dict(), f)
         task_path = f.name
     result_path = task_path + ".result"
+    progress_path = task_path + ".progress"
     cmd = [
         sys.executable,
         "-m",
@@ -426,24 +569,53 @@ async def run_worker_subprocess(
         str(taskid),
         "--result",
         result_path,
+        "--progress",
+        progress_path,
     ]
     proc = await asyncio.create_subprocess_exec(
         *cmd,
         stdout=asyncio.subprocess.PIPE,
         stderr=asyncio.subprocess.STDOUT,
     )
+    if proc_holder is not None:
+        proc_holder["proc"] = proc
+        proc_holder["pid"] = proc.pid
+
+    async def _tail_progress():
+        last = None
+        while True:
+            await asyncio.sleep(0.25)
+            try:
+                with open(progress_path) as pf:
+                    raw = pf.read()
+            except OSError:
+                continue
+            if raw and raw != last:
+                last = raw
+                try:
+                    prog = json.loads(raw)
+                except ValueError:
+                    continue  # torn read is impossible (atomic replace),
+                    # but stay defensive
+                if on_progress is not None:
+                    on_progress(prog)
+
+    poller = asyncio.create_task(_tail_progress()) if on_progress else None
     try:
         out, _ = await asyncio.wait_for(proc.communicate(), timeout)
     except asyncio.TimeoutError:
         proc.kill()
         raise RuntimeError(f"worker process {process_id} timed out")
     finally:
+        if poller is not None:
+            poller.cancel()
         import os as _os
 
-        try:
-            _os.unlink(task_path)
-        except OSError:
-            pass
+        for p in (task_path, progress_path):
+            try:
+                _os.unlink(p)
+            except OSError:
+                pass
     if proc.returncode != 0:
         tail = out.decode(errors="replace")[-2000:]
         raise RuntimeError(
@@ -459,11 +631,18 @@ async def run_worker_subprocess(
 
 def run_task(td: TaskDef, taskid: int) -> Dict[str, Any]:
     """Execute one training task on the local mesh (the RunOneTask analog,
-    reference RunOneTask.cpp:38-158) with per-epoch checkpoint/resume."""
+    reference RunOneTask.cpp:38-158) with per-epoch checkpoint/resume.
+
+    Uses the same shared checkpoint directory as the multi-process workers
+    (worker.default_ckpt_dir), so a task falling back from a broken
+    multi-process attempt resumes instead of restarting."""
+    import shutil
+
     import jax
 
     from qmf_tpu.config import WALSConfig
     from qmf_tpu.data import read_dataset
+    from qmf_tpu.distributed.worker import default_ckpt_dir
     from qmf_tpu.parallel import ShardedWALSEngine
 
     cfg = WALSConfig(
@@ -473,14 +652,19 @@ def run_task(td: TaskDef, taskid: int) -> Dict[str, Any]:
         confidence_weight=td.confidence_weight,
         init_distribution_bound=td.init_distribution_bound,
         distribution_file=td.distribution_file,
+        dtype=td.dtype,
+        solver=td.solver,
     )
+    if td.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
     engine = ShardedWALSEngine(cfg)
     engine.init(read_dataset(td.train_set))
-    engine.enable_checkpointing(f"{td.user_factors}.ckpt_task{taskid}")
+    engine.enable_checkpointing(default_ckpt_dir(td, taskid))
     t0 = time.time()
     engine.optimize()
     engine.save_user_factors(td.user_factors)
     engine.save_item_factors(td.item_factors)
+    shutil.rmtree(default_ckpt_dir(td, taskid), ignore_errors=True)
     return {
         "nusers": engine.nusers,
         "nitems": engine.nitems,

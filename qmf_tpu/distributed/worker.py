@@ -48,6 +48,13 @@ def _force_virtual_cpu(n_local_devices: int) -> None:
     jax.config.update("jax_platforms", "cpu")
 
 
+def default_ckpt_dir(td: TaskDef, taskid: int) -> str:
+    """Shared-fs checkpoint directory for a task, keyed by taskid so every
+    worker (and a retried attempt, or the scheduler's single-process
+    fallback) resumes the same run."""
+    return f"{td.user_factors}.ckpt_task{taskid}"
+
+
 def run_worker(
     td: TaskDef,
     coordinator: Optional[str] = None,
@@ -55,8 +62,22 @@ def run_worker(
     process_id: int = 0,
     n_local_devices: int = 0,
     taskid: int = 0,
+    ckpt_dir: Optional[str] = None,
+    progress_path: Optional[str] = None,
 ) -> Dict[str, Any]:
     """Join the rendezvous, co-train, save factors on process 0.
+
+    Per-epoch fault tolerance: every attempt checkpoints to ``ckpt_dir``
+    (default: a shared-fs dir keyed by taskid) and auto-resumes from LATEST,
+    so a worker killed mid-run costs at most one epoch when the scheduler
+    retries the task — the recovery semantics the reference got from
+    per-bucket reassignment + state re-push (RunOneTask.cpp:177-240,
+    Connection.cpp:307-413), with the epoch as the recovery unit.
+
+    Progress: when ``progress_path`` is set, a JSON line with
+    {taskid, epoch, loss, wall_s} is atomically rewritten after every epoch
+    (the per-bucket progress logging analog, RunOneTask.cpp:208-212); the
+    spawning agent tails it and forwards progress to the scheduler.
 
     Returns a result dict (on every process; only process 0's is reported).
     """
@@ -94,7 +115,32 @@ def run_worker(
     )
     engine = ShardedWALSEngine(cfg, mesh=mesh)
     engine.init(read_dataset(td.train_set))
+    engine.enable_checkpointing(ckpt_dir or default_ckpt_dir(td, taskid))
     t0 = time.time()
+    # fault-injection knob (tests/ops drills): stretch each epoch so a
+    # worker can be killed mid-run deterministically. The reference has no
+    # fault-injection tooling at all (SURVEY.md section 5.3).
+    epoch_sleep = float(os.environ.get("QMF_TPU_EPOCH_SLEEP_S", "0") or 0)
+    if progress_path or epoch_sleep:
+        def _report(epoch, loss, wall_s):
+            if progress_path:
+                tmp = progress_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(
+                        {
+                            "taskid": taskid,
+                            "epoch": epoch,
+                            "nepochs": td.nepochs,
+                            "loss": float(loss),
+                            "wall_s": round(wall_s, 3),
+                        },
+                        f,
+                    )
+                os.replace(tmp, progress_path)
+            if epoch_sleep:
+                time.sleep(epoch_sleep)
+
+        engine.progress_cb = _report
     engine.optimize()
     wall = time.time() - t0
 
@@ -148,6 +194,11 @@ def main(argv=None) -> int:
     p.add_argument("--taskid", type=int, default=0)
     p.add_argument("--result", default=None,
                    help="write the result JSON to this path")
+    p.add_argument("--ckpt-dir", default=None,
+                   help="per-epoch checkpoint directory (shared fs); "
+                        "default derives from user_factors + taskid")
+    p.add_argument("--progress", default=None,
+                   help="atomically rewrite per-epoch progress JSON here")
     args = p.parse_args(argv)
 
     raw = args.task_json
@@ -164,6 +215,8 @@ def main(argv=None) -> int:
         process_id=args.process_id,
         n_local_devices=args.n_local_devices,
         taskid=args.taskid,
+        ckpt_dir=args.ckpt_dir,
+        progress_path=args.progress,
     )
     log.info("worker done: %s", result)
     if args.result:

@@ -85,6 +85,10 @@ class WALSEngine(Engine):
         self._item_hot = None
         self.test_users: Optional[np.ndarray] = None
         self.test_labels: Optional[np.ndarray] = None
+        # optional per-epoch progress hook: fn(epoch, loss, wall_s). The
+        # distributed worker uses it for mid-task observability (the analog
+        # of the reference's per-bucket progress logs, RunOneTask.cpp:208-212).
+        self.progress_cb = None
         if (
             metrics_engine is not None
             and metrics_engine.test_avg_metrics
@@ -165,6 +169,8 @@ class WALSEngine(Engine):
             arrays, plans = device_pack.pack_width_classes_device(
                 r32, c32, vals_d, n_rows, deg_rows, cfg.batch_rows,
                 width_grid=cfg.width_grid,
+                max_classes=cfg.max_width_classes,
+                min_class_nnz_frac=cfg.min_class_nnz_frac,
             )
             return arrays, plans, None
         hot_ids = hot_ops.top_hot_columns(deg_cols, h)
@@ -181,6 +187,8 @@ class WALSEngine(Engine):
             r32, c32, vals_d, n_rows, cold_deg, cfg.batch_rows,
             width_grid=cfg.width_grid, active_mask=deg_rows > 0,
             presorted=presorted,
+            max_classes=cfg.max_width_classes,
+            min_class_nnz_frac=cfg.min_class_nnz_frac,
         )
         hot_classes = hot_ops.build_hot_classes(
             hot_coo[0], hot_coo[1], hot_coo[2], col_rank_dev,
@@ -200,6 +208,8 @@ class WALSEngine(Engine):
             classes = pack_width_classes(
                 rows_np, cols_np, vals_np, n_rows, cfg.batch_rows,
                 width_grid=cfg.width_grid,
+                max_classes=cfg.max_width_classes,
+                min_class_nnz_frac=cfg.min_class_nnz_frac,
             )
             return classes, None
         hot_ids = hot_ops.top_hot_columns(deg_cols, h)
@@ -210,6 +220,8 @@ class WALSEngine(Engine):
             rows_np[~is_hot], cols_np[~is_hot], np.asarray(vals_np)[~is_hot],
             n_rows, cfg.batch_rows, width_grid=cfg.width_grid,
             active_mask=deg_rows > 0,
+            max_classes=cfg.max_width_classes,
+            min_class_nnz_frac=cfg.min_class_nnz_frac,
         )
         hot_classes = hot_ops.build_hot_classes(
             jnp.asarray(rows_np[is_hot].astype(np.int32)),
@@ -233,7 +245,7 @@ class WALSEngine(Engine):
         # solve_bucket's whitelist.
         if cfg.solver not in (
             "auto", "cholesky", "cholesky_matmul", "schur", "cholesky_xla",
-            "pallas", "lu",
+            "pallas", "fused", "lu",
         ):
             raise ValueError(f"unknown WALS solver {cfg.solver!r}")
         self._solver = (
@@ -482,14 +494,27 @@ class WALSEngine(Engine):
         if path is None:
             return 1
         epoch, arrays, _ = ckpt.load_checkpoint(path)
-        self.user_factors = jnp.asarray(arrays["user_factors"], dtype=self.dtype)
-        self.item_factors = jnp.asarray(arrays["item_factors"], dtype=self.dtype)
-        self._place_factors()
+        self._restore_factors(arrays)
         log.info("resumed from %s at epoch %d", path, epoch)
         return epoch + 1
 
+    def _restore_factors(self, arrays) -> None:
+        """Load checkpointed (unpadded) factors; the sharded engine
+        overrides this to re-pad to mesh-divisible heights and re-pin
+        row shardings."""
+        self.user_factors = jnp.asarray(arrays["user_factors"], dtype=self.dtype)
+        self.item_factors = jnp.asarray(arrays["item_factors"], dtype=self.dtype)
+
     def _place_factors(self) -> None:
         """Placement hook; the sharded engine re-pins loaded factors."""
+
+    def _checkpoint_arrays(self):
+        """UNPADDED factor snapshot (shapes independent of any mesh, so a
+        resumed run may use a different device count than the writer)."""
+        return {
+            "user_factors": np.asarray(self.user_factors)[: self.nusers],
+            "item_factors": np.asarray(self.item_factors)[: self.nitems],
+        }
 
     def _maybe_checkpoint(self, epoch: int) -> None:
         from qmf_tpu.utils import checkpoint as ckpt
@@ -499,10 +524,7 @@ class WALSEngine(Engine):
             ckpt.save_checkpoint(
                 directory,
                 epoch,
-                {
-                    "user_factors": np.asarray(self.user_factors),
-                    "item_factors": np.asarray(self.item_factors),
-                },
+                self._checkpoint_arrays(),
                 meta={"nfactors": self.config.nfactors, "engine": "wals"},
             )
 
@@ -529,6 +551,8 @@ class WALSEngine(Engine):
                     loss,
                     elapsed / len(losses),
                 )
+            if self.progress_cb is not None:
+                self.progress_cb(nepochs, losses[-1], elapsed)
             self.evaluate(nepochs)
             return
         for epoch in range(start_epoch, nepochs + 1):
@@ -540,12 +564,12 @@ class WALSEngine(Engine):
                     self._iterate("user")
                     loss = self._iterate("item")
             jax.block_until_ready(self.item_factors)
+            dt = time.time() - t0
             log.info(
-                "epoch %d: train loss = %.10g (%.3fs)",
-                epoch,
-                loss,
-                time.time() - t0,
+                "epoch %d: train loss = %.10g (%.3fs)", epoch, loss, dt
             )
+            if self.progress_cb is not None:
+                self.progress_cb(epoch, loss, dt)
             self.evaluate(epoch)
             self._maybe_checkpoint(epoch)
 

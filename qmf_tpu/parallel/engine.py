@@ -65,7 +65,7 @@ class ShardedWALSEngine(WALSEngine):
         cfg = self.config
         if cfg.solver not in (
             "auto", "cholesky", "cholesky_matmul", "schur", "cholesky_xla",
-            "pallas", "lu",
+            "pallas", "fused", "lu",
         ):
             raise ValueError(f"unknown WALS solver {cfg.solver!r}")
         self._solver = (
@@ -81,10 +81,14 @@ class ShardedWALSEngine(WALSEngine):
         user_classes = pack_width_classes(
             rows, cols, dataset.values, self.nusers, cfg.batch_rows,
             row_multiple=row_multiple, width_grid=cfg.width_grid,
+            max_classes=cfg.max_width_classes,
+            min_class_nnz_frac=cfg.min_class_nnz_frac,
         )
         item_classes = pack_width_classes(
             cols, rows, dataset.values, self.nitems, cfg.batch_rows,
             row_multiple=row_multiple, width_grid=cfg.width_grid,
+            max_classes=cfg.max_width_classes,
+            min_class_nnz_frac=cfg.min_class_nnz_frac,
         )
         log.info(
             "sharded packing over %d devices: users %s, items %s",
@@ -164,6 +168,60 @@ class ShardedWALSEngine(WALSEngine):
         row = NamedSharding(self.mesh, P(self.axis_name, None))
         self.user_factors = jax.device_put(self.user_factors, row)
         self.item_factors = jax.device_put(self.item_factors, row)
+
+    def _put_row_sharded(self, host_arr: np.ndarray) -> jax.Array:
+        """Place a full host array row-sharded over the mesh; works when the
+        mesh spans multiple processes (each process feeds its own shards)."""
+        row = NamedSharding(self.mesh, P(self.axis_name, None))
+        arr = np.asarray(host_arr, dtype=self.dtype)
+        if jax.process_count() > 1:
+            return jax.make_array_from_callback(
+                arr.shape, row, lambda idx: arr[idx]
+            )
+        return jax.device_put(jnp.asarray(arr), row)
+
+    def _restore_factors(self, arrays) -> None:
+        """Re-pad checkpointed (unpadded) factors to this mesh's divisible
+        heights and pin the row shardings (checkpoints are mesh-agnostic, so
+        a resumed run may use a different device/process count)."""
+        k = self.config.nfactors
+        u = np.zeros((self._pad_users, k), dtype=self.dtype)
+        u[: self.nusers] = arrays["user_factors"][: self.nusers]
+        v = np.zeros((self._pad_items, k), dtype=self.dtype)
+        v[: self.nitems] = arrays["item_factors"][: self.nitems]
+        self.user_factors = self._put_row_sharded(u)
+        self.item_factors = self._put_row_sharded(v)
+
+    def _checkpoint_arrays(self):
+        """Multi-process-safe snapshot: replicate the sharded factors (a
+        collective every process must execute — _maybe_checkpoint runs at
+        the same point in every worker), then read them host-side. Only
+        process 0 writes the file (see _maybe_checkpoint)."""
+        rep = jax.jit(
+            lambda u, v: (u, v),
+            out_shardings=NamedSharding(self.mesh, P()),
+        )(self.user_factors, self.item_factors)
+        return {
+            "user_factors": np.asarray(rep[0])[: self.nusers],
+            "item_factors": np.asarray(rep[1])[: self.nitems],
+        }
+
+    def _maybe_checkpoint(self, epoch: int) -> None:
+        import jax as _jax
+
+        directory = getattr(self, "_ckpt_dir", None)
+        if not directory or epoch % getattr(self, "_ckpt_every", 1) != 0:
+            return
+        arrays = self._checkpoint_arrays()  # collective: all processes
+        if _jax.process_index() == 0:
+            from qmf_tpu.utils import checkpoint as ckpt
+
+            ckpt.save_checkpoint(
+                directory,
+                epoch,
+                arrays,
+                meta={"nfactors": self.config.nfactors, "engine": "wals"},
+            )
 
     def _fused_epoch(self) -> float:
         """One fused whole-epoch dispatch with explicit sharded outputs

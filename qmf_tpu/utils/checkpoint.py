@@ -3,10 +3,13 @@
 The reference has no mid-training checkpointing (SURVEY.md section 5.4): its
 fault-tolerance story is per-bucket work reassignment inside an epoch
 (reference RunOneTask.cpp:177-240). In the TPU design an epoch is a single
-device program, so the recovery unit becomes the epoch: factors + epoch
-counter + RNG state are snapshotted after each epoch, and a restarted run
-resumes from the last complete snapshot — equivalent end state, simpler
-machinery.
+device program, so the recovery unit becomes the epoch: the model state is
+snapshotted after each epoch and a restarted run resumes from the last
+complete snapshot — equivalent end state, simpler machinery. What each
+engine snapshots: WALS saves factors + the epoch counter only (it has no
+mid-run RNG — item factors are re-derived from users each epoch); BPR
+additionally saves its sampler RNG key and decayed learning rate
+(models/bpr.py).
 
 Format: one .npz per snapshot plus a LATEST pointer file, written atomically
 (tmp + rename) so a crash mid-write never corrupts the resume point.

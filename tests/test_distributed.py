@@ -261,6 +261,7 @@ class TestControlPlane:
             fx.close()
 
 
+@pytest.mark.slow
 class TestDistributedGolden:
     def test_distributed_task_matches_standalone_cli(self, tmp_path):
         """The reference's golden workflow (examples/README.md:4-13):
@@ -338,6 +339,7 @@ class TestDistributedGolden:
             )
 
 
+@pytest.mark.slow
 class TestMultiProcessTraining:
     def test_two_process_run_matches_single_process(self, tmp_path):
         """VERDICT item 4: a labor receiving task_start joins the
@@ -373,8 +375,11 @@ class TestMultiProcessTraining:
             "item_factors : \"%s\"\n"
         )
 
+        # generous prepare window: under heavy box load the labor's ack can
+        # trail the announce by tens of seconds; a miss silently falls back
+        # to a single-process run and fails the num_processes assertion
         fx = SchedulerFixture(
-            multiproc=True, n_local_devices=4, prepare_timeout=20.0
+            multiproc=True, n_local_devices=4, prepare_timeout=60.0
         )
         labor = Labor("127.0.0.1", fx.port)
         labor_future = fx.run_coro(labor.run())
@@ -393,7 +398,7 @@ class TestMultiProcessTraining:
             )
             rsp = submit_task_file("127.0.0.1", fx.port, str(task_file))
             assert rsp["status"] == "OK"
-            for _ in range(1800):  # worker subprocesses import jax (slow)
+            for _ in range(6000):  # worker subprocesses import jax (slow)
                 status = scheduler_status("127.0.0.1", fx.port)
                 if status["history"] and status["history"][-1]["state"] in (
                     "done",
@@ -421,6 +426,139 @@ class TestMultiProcessTraining:
         from qmf_tpu.data import load_factors
 
         for a, b in (("mu.dat", "su.dat"), ("mi.dat", "si.dat")):
+            ids_a, fa = load_factors(str(tmp_path / a))
+            ids_b, fb = load_factors(str(tmp_path / b))
+            np.testing.assert_array_equal(ids_a, ids_b)
+            np.testing.assert_array_equal(fa.factors, fb.factors)
+
+    def test_worker_killed_mid_run_is_retried_from_checkpoint(
+        self, tmp_path, monkeypatch
+    ):
+        """VERDICT r3 items 2+5: SIGKILL a labor's worker mid-run; the
+        scheduler must (a) have shown live mid-run progress (epoch > 0) in
+        status, (b) detect the broken rendezvous, kill its own worker, and
+        (c) retry the task, resuming from the shared per-epoch checkpoint —
+        final factors bit-equal (f64) to an uninterrupted run.
+
+        This is the TPU-era equivalent of the reference's fault-tolerance
+        story (dead labor -> buckets reassigned, epoch completes,
+        RunOneTask.cpp:177-240)."""
+        import os
+        import signal
+        import time
+
+        from qmf_tpu.cli import gen_uniform as gen_cli
+        from qmf_tpu.distributed.worker import default_ckpt_dir
+
+        # stretch epochs so the kill window is deterministic
+        monkeypatch.setenv("QMF_TPU_EPOCH_SLEEP_S", "0.75")
+
+        rng = np.random.default_rng(11)
+        lines = [
+            f"{u} {i} {v}\n"
+            for u, i, v in zip(
+                rng.integers(1, 40, 500),
+                rng.integers(1, 25, 500),
+                rng.integers(1, 6, 500),
+            )
+        ]
+        train = tmp_path / "train.txt"
+        train.write_text("".join(lines))
+        dist = tmp_path / "uniform.dat"
+        gen_cli.main(["10000", str(dist), "--seed=9"])
+
+        task_text = (
+            "nepochs : 6\n"
+            "nfactors : 4\n"
+            'dtype : "float64"\n'
+            f'distribution_file : "{dist}"\n'
+            f'train_set : "{train}"\n'
+            'user_factors : "%s"\n'
+            'item_factors : "%s"\n'
+        )
+
+        fx = SchedulerFixture(
+            multiproc=True, n_local_devices=4, prepare_timeout=30.0
+        )
+        labor = Labor("127.0.0.1", fx.port)
+        labor_future = fx.run_coro(labor.run())
+        try:
+            for _ in range(100):
+                if fx.scheduler.labors:
+                    break
+                time.sleep(0.05)
+            assert len(fx.scheduler.labors) == 1
+
+            task_file = tmp_path / "task.pb"
+            task_file.write_text(
+                task_text % (tmp_path / "ku.dat", tmp_path / "ki.dat")
+            )
+            td = parse_taskdef(task_file.read_text())
+            ckpt_dir = default_ckpt_dir(td, taskid=1)
+            rsp = submit_task_file("127.0.0.1", fx.port, str(task_file))
+            assert rsp["status"] == "OK" and rsp["taskid"] == 1
+
+            # (a) live progress: status must show a labor epoch > 0 mid-run
+            saw_progress = False
+            for _ in range(2400):
+                status = scheduler_status("127.0.0.1", fx.port)
+                labors = status.get("labors", {})
+                cur = status.get("current") or {}
+                if any(li["epoch"] > 0 for li in labors.values()) or (
+                    cur.get("progress")
+                ):
+                    saw_progress = True
+                    break
+                if status["history"] and status["history"][-1]["state"] in (
+                    "done",
+                    "failed",
+                ):
+                    break
+                time.sleep(0.05)
+            assert saw_progress, "no mid-run progress surfaced in status"
+
+            # wait until at least one epoch checkpoint is durable, then
+            # SIGKILL the labor's worker subprocess mid-epoch
+            for _ in range(2400):
+                if os.path.exists(os.path.join(ckpt_dir, "LATEST")):
+                    break
+                time.sleep(0.05)
+            assert os.path.exists(os.path.join(ckpt_dir, "LATEST"))
+            pid = labor.worker_pid
+            assert pid is not None, "labor worker already gone?"
+            os.kill(pid, signal.SIGKILL)
+
+            # (b)+(c): the task must still complete, on a retried attempt
+            for _ in range(3000):
+                status = scheduler_status("127.0.0.1", fx.port)
+                if status["history"] and status["history"][-1]["state"] in (
+                    "done",
+                    "failed",
+                ):
+                    break
+                time.sleep(0.1)
+            last = status["history"][-1]
+            assert last["state"] == "done", last
+            assert last["result"]["attempts"] >= 2, last["result"]
+            assert last["result"]["num_processes"] == 2
+            # checkpoint dir cleaned up after success
+            assert not os.path.exists(ckpt_dir)
+        finally:
+            labor_future.cancel()
+            fx.close()
+
+        # uninterrupted single-process oracle must match bit-for-bit (f64)
+        monkeypatch.delenv("QMF_TPU_EPOCH_SLEEP_S")
+        from qmf_tpu.distributed.worker import run_worker
+
+        td = parse_taskdef(
+            task_text % (tmp_path / "su.dat", tmp_path / "si.dat")
+        )
+        run_worker(td, num_processes=1)
+
+        from qmf_tpu.data import load_factors
+
+        for a, b in (("ku.dat", "su.dat"), ("ki.dat", "si.dat")):
             ids_a, fa = load_factors(str(tmp_path / a))
             ids_b, fb = load_factors(str(tmp_path / b))
             np.testing.assert_array_equal(ids_a, ids_b)
@@ -462,8 +600,8 @@ class TestMultiProcessTraining:
                 return await fx.scheduler._run_multiproc(td, taskid=99)
 
             result = fx.run_coro(go()).result(30)
-            # fell back to the (fake) local runner
-            assert result == {"ok": True, "taskid": 99}
+            # fell back to the (fake) local runner (first attempt)
+            assert result == {"ok": True, "taskid": 99, "attempts": 1}
             assert results == [(99, "t.txt")]
         finally:
             sock.close()
