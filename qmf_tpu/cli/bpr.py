@@ -94,6 +94,12 @@ def make_flags() -> Flags:
         "grouped-epoch negative sampler: word (single-gather in-word "
         "probes) | rounds (compacted exact-rejection rounds)",
     )
+    fl.define_integer(
+        "n_devices",
+        1,
+        "devices to data-parallel-shard the minibatch over: 1 = single-chip "
+        "engine, 0 = ALL visible devices, N>1 = first N",
+    )
     return fl
 
 
@@ -139,12 +145,25 @@ def main(argv=None) -> int:
             log.error("metric %s is not available", metric)
             return 1
 
-    engine = BPREngine(
-        config,
-        metrics_engine,
-        eval_num_neg=fl.eval_num_neg,
-        eval_seed=fl.eval_seed,
-    )
+    if fl.n_devices == 1:
+        engine = BPREngine(
+            config,
+            metrics_engine,
+            eval_num_neg=fl.eval_num_neg,
+            eval_seed=fl.eval_seed,
+        )
+    else:
+        from qmf_tpu.parallel import ShardedBPREngine
+
+        n = fl.n_devices if fl.n_devices > 0 else None  # 0 = all devices
+        engine = ShardedBPREngine(
+            config,
+            metrics_engine,
+            eval_num_neg=fl.eval_num_neg,
+            eval_seed=fl.eval_seed,
+            n_devices=n,
+        )
+        log.info("data-parallel BPR over %d devices", engine.mesh.size)
 
     log.info("loading training data")
     engine.init(read_dataset(fl.train_dataset))

@@ -95,6 +95,14 @@ def make_flags() -> Flags:
         "init_seed", 0, "seed for random item-factor init (reference uses "
         "a non-deterministic random_device)"
     )
+    fl.define_integer(
+        "n_devices",
+        1,
+        "devices to shard training over: 1 = single-chip engine, 0 = ALL "
+        "visible devices, N>1 = first N (multi-chip replacement for the "
+        "reference's wals_scheduler/wals_labor cluster, "
+        "qmf/wals_scheduler.cpp:27-75)",
+    )
     return fl
 
 
@@ -135,7 +143,16 @@ def main(argv=None) -> int:
             log.error("metric %s is not available", metric)
             return 1
 
-    engine = WALSEngine(config, metrics_engine)
+    if fl.n_devices == 1:
+        engine = WALSEngine(config, metrics_engine)
+    else:
+        from qmf_tpu.parallel import ShardedWALSEngine
+
+        n = fl.n_devices if fl.n_devices > 0 else None  # 0 = all devices
+        engine = ShardedWALSEngine(config, metrics_engine, n_devices=n)
+        log.info(
+            "sharded WALS over %d devices", engine.mesh.size
+        )
 
     log.info("loading training data")
     engine.init(read_dataset(fl.train_dataset))

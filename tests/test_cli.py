@@ -26,6 +26,7 @@ def small_data(tmp_path):
     return train_p, test_p
 
 
+@pytest.mark.slow
 class TestWalsCli:
     def test_end_to_end(self, tmp_path, small_data):
         train_p, test_p = small_data
@@ -99,6 +100,82 @@ class TestWalsCli:
         assert outs[0] == outs[1]
 
 
+@pytest.mark.slow
+class TestMultiChipCli:
+    """BASELINE config #5 as a one-liner: --n_devices selects the sharded
+    engines (8 virtual CPU devices here; the multi-machine entry points
+    these replace are reference qmf/wals_scheduler.cpp:27-75)."""
+
+    def test_wals_n_devices_matches_single_chip(self, tmp_path, small_data):
+        train_p, _ = small_data
+        dist = tmp_path / "uniform.dat"
+        gen_uniform_cli.main(["50000", str(dist), "--seed=3"])
+        outs = {}
+        for nd in (1, 8):
+            user_p = tmp_path / f"u{nd}.dat"
+            item_p = tmp_path / f"i{nd}.dat"
+            rc = wals_cli.main(
+                [
+                    f"--train_dataset={train_p}",
+                    f"--distribution_file={dist}",
+                    "--nepochs=2",
+                    "--nfactors=4",
+                    "--dtype=float64",
+                    f"--n_devices={nd}",
+                    f"--user_factors={user_p}",
+                    f"--item_factors={item_p}",
+                ]
+            )
+            assert rc == 0
+            ids_u, fu = load_factors(str(user_p))
+            ids_i, fi = load_factors(str(item_p))
+            outs[nd] = (ids_u, fu.factors, ids_i, fi.factors)
+        np.testing.assert_array_equal(outs[1][0], outs[8][0])
+        np.testing.assert_array_equal(outs[1][2], outs[8][2])
+        # f64: sharded reduction reorder noise only
+        np.testing.assert_allclose(outs[1][1], outs[8][1], rtol=1e-8)
+        np.testing.assert_allclose(outs[1][3], outs[8][3], rtol=1e-8)
+
+    def test_wals_n_devices_all(self, tmp_path, small_data):
+        train_p, _ = small_data
+        rc = wals_cli.main(
+            [
+                f"--train_dataset={train_p}",
+                "--nepochs=1",
+                "--nfactors=4",
+                "--n_devices=0",  # 0 = all visible devices
+                f"--user_factors={tmp_path / 'u.dat'}",
+                f"--item_factors={tmp_path / 'i.dat'}",
+            ]
+        )
+        assert rc == 0
+        ids, fd = load_factors(str(tmp_path / "u.dat"))
+        assert len(ids) == 30 and fd.nfactors == 4
+
+    def test_bpr_n_devices(self, tmp_path, small_data):
+        from qmf_tpu.cli import bpr as bpr_cli
+
+        train_p, test_p = small_data
+        user_p = tmp_path / "bu8.dat"
+        item_p = tmp_path / "bi8.dat"
+        rc = bpr_cli.main(
+            [
+                f"--train_dataset={train_p}",
+                f"--test_dataset={test_p}",
+                "--nepochs=2",
+                "--nfactors=6",
+                "--batch_size=128",
+                "--n_devices=8",
+                "--test_avg_metrics=auc",
+                f"--user_factors={user_p}",
+                f"--item_factors={item_p}",
+            ]
+        )
+        assert rc == 0
+        ids, fd = load_factors(str(user_p))
+        assert len(ids) == 30 and fd.nfactors == 6
+
+
 class TestGenUniformCli:
     def test_count_and_file(self, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)
@@ -109,6 +186,7 @@ class TestGenUniformCli:
         assert np.all(np.abs(vals) <= 0.01)
 
 
+@pytest.mark.slow
 class TestBprCli:
     def test_end_to_end_with_biases_and_metrics(self, tmp_path, small_data):
         from qmf_tpu.cli import bpr as bpr_cli
@@ -152,6 +230,7 @@ class TestBprCli:
         assert rc == 0
 
 
+@pytest.mark.slow
 class TestWalsCliPrecision:
     def test_matmul_precision_flag(self, tmp_path, small_data):
         train_p, _ = small_data
@@ -168,6 +247,7 @@ class TestWalsCliPrecision:
         assert rc == 0
 
 
+@pytest.mark.slow
 class TestSchedulerTaskFailure:
     def test_bad_train_set_marks_failed(self, tmp_path):
         import time
