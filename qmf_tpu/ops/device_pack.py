@@ -35,6 +35,7 @@ import numpy as np
 from qmf_tpu.ops.packing import (
     _next_pow2,
     _round_up,
+    coalesce_widths,
     pad_widths,
     width_class_chunk,
 )
@@ -57,6 +58,8 @@ def plan_width_classes(
     row_multiple: int = 8,
     width_grid: str = "pow2",
     active_mask: np.ndarray | None = None,
+    max_classes: int = 0,
+    min_class_nnz_frac: float = 0.0,
 ) -> List[ClassPlan]:
     """Plan width classes from per-row degrees alone (no COO sort needed).
 
@@ -75,6 +78,9 @@ def plan_width_classes(
     if len(active) == 0:
         return []
     widths = pad_widths(degrees[active], min_width, width_grid)
+    widths = coalesce_widths(
+        widths, degrees[active], max_classes, min_class_nnz_frac
+    )
     order = np.argsort(widths, kind="stable")
     active, widths = active[order], widths[order]
 
@@ -200,6 +206,8 @@ def pack_width_classes_device(
     width_grid: str = "pow2",
     active_mask: np.ndarray | None = None,
     presorted=None,  # optional (cols_s, vals_s, indptr) from split_sorted_csr
+    max_classes: int = 0,
+    min_class_nnz_frac: float = 0.0,
 ):
     """Device-packed equivalent of ``packing.pack_width_classes``.
 
@@ -209,7 +217,8 @@ def pack_width_classes_device(
     """
     plans = plan_width_classes(
         degrees, n_rows, batch_rows, min_width, row_multiple, width_grid,
-        active_mask=active_mask,
+        active_mask=active_mask, max_classes=max_classes,
+        min_class_nnz_frac=min_class_nnz_frac,
     )
     if not plans:
         return [], plans

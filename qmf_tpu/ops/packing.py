@@ -106,13 +106,77 @@ def pad_widths(
         w34 = (3 * w) // 4  # the 1.5*pow2 point below each pow2
         w = np.where(w34 >= deg, np.maximum(w34, min_width), w)
     elif width_grid == "pow2_q":
-        # smallest of {5/8, 3/4, 7/8, 1}*p2 still >= deg (descending tries)
+        # smallest of {5/8, 3/4, 7/8, 1}*p2 still >= deg (descending
+        # tries); below p2=8 the //8 would floor to off-grid widths
+        # (deg=3 -> 21//8=2), so quarter points only apply from p2 >= 8
         for num in (7, 6, 5):
             wq = (num * p2) // 8
-            w = np.where(wq >= deg, np.maximum(wq, min_width), w)
+            w = np.where((wq >= deg) & (p2 >= 8),
+                         np.maximum(wq, min_width), w)
     elif width_grid != "pow2":
         raise ValueError(f"unknown width_grid: {width_grid}")
     return w
+
+
+def coalesce_widths(
+    widths: np.ndarray,
+    degrees: np.ndarray,
+    max_classes: int = 0,
+    min_nnz_frac: float = 0.01,
+) -> np.ndarray:
+    """Bound the number of width classes by merging sparse ones upward.
+
+    Every distinct width is a compiled program shape (and through a remote
+    compile service, ~30-140 s of warmup each — BENCH_r03 measured 665 s of
+    ml20m warmup at 43 classes). Two rules, both merging a class into the
+    NEXT LARGER width (rows may always pad wider, never narrower):
+
+    - any class covering < ``min_nnz_frac`` of the side's nnz merges
+      unconditionally (its padding cost is bounded by its tiny nnz share);
+    - while more than ``max_classes`` remain (0 = no cap), merge the
+      ascending-adjacent pair whose extra padding (rows * width gap) is
+      smallest.
+
+    Returns the adjusted per-row widths (same order as ``widths``).
+    """
+    widths = np.asarray(widths)
+    if max_classes <= 0 and min_nnz_frac <= 0:
+        return widths
+    uniq, inv = np.unique(widths, return_inverse=True)
+    if len(uniq) <= 1:
+        return widths
+    deg = np.asarray(degrees, dtype=np.float64)
+    cls = [
+        # [width, nnz, rows, member uniq-indices]
+        [int(w), float(deg[inv == i].sum()), int((inv == i).sum()), [i]]
+        for i, w in enumerate(uniq)
+    ]
+    total = sum(c[1] for c in cls)
+
+    def merge_up(i):
+        cls[i + 1][1] += cls[i][1]
+        cls[i + 1][2] += cls[i][2]
+        cls[i + 1][3].extend(cls[i][3])
+        del cls[i]
+
+    i = 0
+    while i < len(cls) - 1:
+        if cls[i][1] < min_nnz_frac * total:
+            merge_up(i)
+        else:
+            i += 1
+    while max_classes > 0 and len(cls) > max_classes:
+        costs = [
+            cls[i][2] * (cls[i + 1][0] - cls[i][0])
+            for i in range(len(cls) - 1)
+        ]
+        merge_up(int(np.argmin(costs)))
+
+    new_width = np.empty(len(uniq), dtype=widths.dtype)
+    for c in cls:
+        for m in c[3]:
+            new_width[m] = c[0]
+    return new_width[inv]
 
 
 def pack_buckets(
@@ -191,6 +255,8 @@ def pack_width_classes(
     dtype=np.float64,
     width_grid: str = "pow2",
     active_mask: np.ndarray | None = None,
+    max_classes: int = 0,
+    min_class_nnz_frac: float = 0.0,
 ) -> List[Bucket]:
     """Pack COO ratings into ONE padded array set per width class.
 
@@ -224,6 +290,9 @@ def pack_width_classes(
     if len(active) == 0:
         return []
     widths = pad_widths(degrees[active], min_width, width_grid)
+    widths = coalesce_widths(
+        widths, degrees[active], max_classes, min_class_nnz_frac
+    )
     order = np.argsort(widths, kind="stable")
     active, widths = active[order], widths[order]
 

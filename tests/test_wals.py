@@ -112,6 +112,51 @@ class TestPacking:
         wq = pad_widths(deg, width_grid="pow2_q")
         assert (wq <= w15).all() and (w15 <= w2).all()
 
+    def test_coalesce_widths_bounds_classes(self):
+        from qmf_tpu.ops.packing import coalesce_widths
+
+        rng = np.random.default_rng(7)
+        deg = rng.zipf(1.3, 5000).clip(1, 4000)
+        w = pad_widths(deg, min_width=8, width_grid="pow2_q")
+        assert len(np.unique(w)) > 12
+        wc = coalesce_widths(w, deg, max_classes=12, min_nnz_frac=0.01)
+        # still valid padding, never narrower, bounded class count
+        assert (wc >= deg).all() and (wc >= w).all()
+        assert len(np.unique(wc)) <= 12
+        # every surviving width was an original grid width (merges go UP
+        # to an existing class, never invent widths)
+        assert set(np.unique(wc)) <= set(np.unique(w))
+        # tiny classes (<1% nnz) are gone except possibly the largest width
+        tot = deg.sum()
+        for width in np.unique(wc)[:-1]:
+            assert deg[wc == width].sum() >= 0.01 * tot
+        # no-op flags return input unchanged
+        np.testing.assert_array_equal(
+            coalesce_widths(w, deg, max_classes=0, min_nnz_frac=0.0), w
+        )
+
+    def test_coalesced_pack_equivalent_factors_f64(self):
+        # class merging is a layout choice; the math must not change
+        rng = np.random.default_rng(13)
+        users = rng.integers(1, 80, 1500)
+        items = rng.integers(1, 50, 1500)
+        ds = Dataset(users, items, rng.integers(1, 6, 1500).astype(float))
+        outs = []
+        for max_cls in (0, 3):
+            eng = WALSEngine(
+                WALSConfig(
+                    nepochs=2, nfactors=6, init_seed=4, dtype="float64",
+                    max_width_classes=max_cls, min_class_nnz_frac=0.0,
+                )
+            )
+            eng.init(ds)
+            eng.optimize()
+            outs.append(
+                (np.asarray(eng.user_factors), np.asarray(eng.item_factors))
+            )
+        np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-9)
+        np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-9)
+
     def test_width_grid_equivalent_factors_f64(self):
         # the padding grid is a layout choice; it must not change the math
         rng = np.random.default_rng(11)
@@ -215,6 +260,7 @@ class TestSolveBucket:
         np.testing.assert_allclose(g, y.T @ y, rtol=1e-10)
 
 
+@pytest.mark.slow
 class TestWALSEngine:
     def test_init_double_raises(self):
         engine = WALSEngine(WALSConfig(nfactors=4))
@@ -343,6 +389,7 @@ class TestWALSEngine:
         assert len(lines[0].split()) == 4  # id + 3 factors
 
 
+@pytest.mark.slow
 class TestFusedEpoch:
     def test_fused_matches_per_class_dispatch(self):
         rng = np.random.default_rng(9)
@@ -407,6 +454,7 @@ class TestFusedEpoch:
         assert not eng._can_fuse_run()
 
 
+@pytest.mark.slow
 class TestNegativeValues:
     def test_lu_solver_handles_negative_ratings(self):
         """The reference's dsysv_ tolerates indefinite systems from negative
