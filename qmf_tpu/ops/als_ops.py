@@ -97,6 +97,8 @@ def solve_bucket(
         "cholesky", "cholesky_matmul", "schur", "cholesky_xla", "pallas",
         "lu",
     ):
+        # ("fused" is not a per-bucket solver: it replaces build+solve at
+        # side granularity — see _solve_side)
         raise ValueError(f"unknown solver: {solver}")
     return _solve_bucket_body(y, yty, col_idx, values, mask, alpha, lam, solver)
 
@@ -349,6 +351,41 @@ def _scan_class_build(y, yty, col_idx, values, mask, alpha, lam, chunk_b,
     )
 
 
+def _class_fused(y, ytyl, col_idx, values, mask, alpha, lam, precision,
+                 hot_cls=None, y_hot=None, z=None):
+    """One width class through the fused Pallas build+factor+solve kernel.
+
+    XLA does the gather (one write of the (N, D, k) stream) and the weight
+    arithmetic; the kernel consumes the stream ONCE and keeps every tile's
+    A entirely in VMEM — no (N, k, k) HBM materialization, no separate
+    solve pass (pallas_solve.build_solve). Hot/cold-split head weights ride
+    in-kernel GEMMs. Returns (x (N, k), loss (N,)).
+    """
+    from qmf_tpu.ops import pallas_solve
+
+    dtype = y.dtype
+    maskf = mask.astype(dtype)
+    w = alpha * values * maskf
+    conf = maskf + w
+    if precision == "default" and dtype == jnp.float32:
+        yg = y.astype(jnp.bfloat16)[col_idx]
+    else:
+        yg = y[col_idx]
+    conf_sum = jnp.sum(conf, axis=1)
+    hot = None
+    if hot_cls is not None:
+        w_a, w_b, conf_hot = hot_cls
+        conf_sum = conf_sum + conf_hot
+        hot = (w_a, w_b)
+    k = y.shape[1]
+    ytyl_f32 = ytyl.astype(jnp.float32)
+    x, b = pallas_solve.build_solve(
+        yg, w.astype(jnp.float32), conf.astype(jnp.float32), ytyl_f32,
+        hot=hot, y_hot=y_hot, z=z,
+    )
+    return x, _loss_from_solution(x, b, conf_sum, lam)
+
+
 def _solve_side(y, class_arrays, chunk_sizes, n_rows, alpha, lam, solver,
                 precision, class_solve=True, hot=None):
     """All width classes of one side inside a single trace.
@@ -372,6 +409,21 @@ def _solve_side(y, class_arrays, chunk_sizes, n_rows, alpha, lam, solver,
     else:
         hot_classes = [None] * len(class_arrays)
         y_hot = z = None
+    if solver == "fused":
+        # whole-class fused Pallas build+factor+solve: the gathered stream
+        # is read once by the kernel and A never leaves VMEM
+        k = y.shape[1]
+        ytyl = yty + lam * jnp.eye(k, dtype=y.dtype)
+        for (row_ids, col_idx, values, mask), hot_cls in zip(
+            class_arrays, hot_classes
+        ):
+            x, l = _class_fused(
+                y, ytyl, col_idx, values, mask, alpha, lam, precision,
+                hot_cls, y_hot, z,
+            )
+            loss = loss + jnp.sum(l)
+            x_out = x_out.at[row_ids].set(x, mode="drop")
+        return x_out, loss
     if class_solve:
         parts = [
             _scan_class_build(
@@ -584,6 +636,22 @@ def iterate_side_classes(
     """One half-epoch over width classes (one dispatch per class)."""
     if solve_fn is None:
         solve_fn = width_class_solve
+    if solver == "fused":
+        # route through the fused-kernel side program (one jitted dispatch)
+        fused = jax.jit(
+            functools.partial(
+                _solve_side, solver="fused", precision=precision,
+                n_rows=n_rows,
+            ),
+            static_argnames=(),
+        )
+        x_out, loss = fused(
+            y, classes, chunk_sizes,
+            alpha=jnp.asarray(alpha, dtype=dtype),
+            lam=jnp.asarray(lam, dtype=dtype),
+            hot=hot,
+        )
+        return x_out, float(loss)
     yty = gramian(y)
     k = y.shape[1]
     # callers may pass a pre-placed accumulator (e.g. sharded zeros) so the

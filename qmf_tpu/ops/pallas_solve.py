@@ -261,11 +261,53 @@ def solve_spd(
 # _build_bucket + solve (reference hot loop qmf/wals/WALSEngine.cpp:266-310).
 
 
+def _accum_cold_tile(yg_ref, w_ref, conf_ref, a_nat, b_ref):
+    """Accumulate one (TB, BD, k) cold block into a_nat/b_ref.
+
+    Static unroll over the tile's rows: every VMEM slab offset is a
+    compile-time constant (a dynamic fori_loop index forces Mosaic into
+    dynamic-sublane addressing on each read/write, which measured ~25%
+    SLOWER than the split XLA path; unrolled the same math issues as
+    straight-line independent MXU ops).
+    """
+    tb = yg_ref.shape[0]
+    for t in range(tb):
+        yg_t = yg_ref[t]  # (bd, k) bf16
+        # minor-dim insertion must happen on the f32 value (Mosaic only
+        # supports non-no-op minor reshapes for 32-bit types); the bf16
+        # cast AFTER matches the DEFAULT-precision einsum's rounding
+        w_t = w_ref[t][:, None].astype(yg_t.dtype)  # (bd, 1)
+        wy = yg_t * w_t
+        a_nat[t] = a_nat[t] + jax.lax.dot_general(
+            wy, yg_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    # b accumulates tile-wide on the VPU: the per-row alternative is a
+    # degenerate (1, bd) x (bd, k) MXU dot per row. OPERANDS round to the
+    # stream dtype and products/sums run in f32 — exactly the MXU's
+    # bf16 x bf16 -> f32 semantics, so this matches the DEFAULT-precision
+    # einsum of the split path bit-for-bit up to summation order.
+    conf_rnd = (
+        conf_ref[...][:, :, None].astype(yg_ref.dtype).astype(jnp.float32)
+    )
+    cyg = yg_ref[...].astype(jnp.float32) * conf_rnd
+    b_ref[...] = b_ref[...] + jnp.sum(cyg, axis=1)
+
+
+def _solve_tile(a_nat, b_ref, x_ref, at_ref, xt_ref):
+    """Transpose the accumulated tile batch-last and factor+solve it."""
+    k = a_nat.shape[1]
+    for r in range(k):
+        at_ref[:, r, :] = jnp.transpose(a_nat[:, r, :], (1, 0))
+    xt_ref[...] = jnp.transpose(b_ref[...], (1, 0))
+    _factor_solve_core(at_ref, xt_ref)
+    x_ref[...] = jnp.transpose(xt_ref[...], (1, 0))
+
+
 def _build_solve_kernel(ytyl_ref, yg_ref, w_ref, conf_ref, x_ref, b_ref,
                         a_nat, at_ref, xt_ref):
     j = pl.program_id(1)
     nd = pl.num_programs(1)
-    tb, _, k = yg_ref.shape
 
     @pl.when(j == 0)
     def _init():
@@ -273,35 +315,64 @@ def _build_solve_kernel(ytyl_ref, yg_ref, w_ref, conf_ref, x_ref, b_ref,
         a_nat[...] = jnp.broadcast_to(ytyl_ref[...], a_nat.shape)
         b_ref[...] = jnp.zeros_like(b_ref)
 
-    # static unroll over the tile's rows: every VMEM slab offset is a
-    # compile-time constant (a dynamic fori_loop index forces Mosaic into
-    # dynamic-sublane addressing on each read/write, which measured ~25%
-    # SLOWER than the split XLA path; unrolled the same math issues as
-    # straight-line independent MXU ops)
-    for t in range(tb):
-        yg_t = yg_ref[t]  # (bd, k) bf16
-        # minor-dim insertion must happen on the f32 value (Mosaic only
-        # supports non-no-op minor reshapes for 32-bit types); the bf16
-        # cast AFTER matches the DEFAULT-precision einsum's rounding
-        w_t = w_ref[t][:, None].astype(jnp.bfloat16)  # (bd, 1)
-        conf_t = conf_ref[t][None, :].astype(jnp.bfloat16)  # (1, bd)
-        wy = yg_t * w_t
-        a_nat[t] = a_nat[t] + jax.lax.dot_general(
-            wy, yg_t, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        b_ref[t] = b_ref[t] + jax.lax.dot_general(
-            conf_t, yg_t, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )[0]
+    _accum_cold_tile(yg_ref, w_ref, conf_ref, a_nat, b_ref)
 
     @pl.when(j == nd - 1)
     def _solve():
-        for r in range(k):
-            at_ref[:, r, :] = jnp.transpose(a_nat[:, r, :], (1, 0))
-        xt_ref[...] = jnp.transpose(b_ref[...], (1, 0))
-        _factor_solve_core(at_ref, xt_ref)
-        x_ref[...] = jnp.transpose(xt_ref[...], (1, 0))
+        _solve_tile(a_nat, b_ref, x_ref, at_ref, xt_ref)
+
+
+def _make_build_solve_hot_kernel(nd_hot: int):
+    """Kernel variant whose j axis runs the HOT blocks first, then the cold
+    blocks: step j < nd_hot adds one (TB, HB) slice of the static hot
+    weights via two MXU GEMMs against the rank-1 table Z (the hot/cold
+    split of ops/hot.py, computed entirely in VMEM instead of an XLA GEMM
+    whose (N, k, k) output would round-trip HBM); steps j >= nd_hot run the
+    per-row cold accumulation; the final step factors+solves in place."""
+
+    def kernel(ytyl_ref, yg_ref, w_ref, conf_ref, wa_ref, wb_ref, z_ref,
+               yhot_ref, x_ref, b_ref, a_nat, at_ref, xt_ref):
+        j = pl.program_id(1)
+        nd = pl.num_programs(1)
+        tb, _, k = yg_ref.shape
+
+        @pl.when(j == 0)
+        def _init():
+            a_nat[...] = jnp.broadcast_to(ytyl_ref[...], a_nat.shape)
+            b_ref[...] = jnp.zeros_like(b_ref)
+
+        @pl.when(j < nd_hot)
+        def _hot():
+            hot_a = jax.lax.dot_general(  # (tb, k*k) f32
+                wa_ref[...], z_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # fold (tb, k*k) into a_nat (tb, k, k) g rows at a time, with
+            # g*k a 128 multiple so every lane slice offset stays
+            # 128-aligned; the (tb, g*k) -> (tb, g, k) minor split is a
+            # legal Mosaic reshape for 32-bit types
+            import math as _math
+
+            g = 128 // _math.gcd(k, 128)
+            if k % g:
+                g = k  # single whole-row reshape (offset 0, always aligned)
+            for r in range(0, k, g):
+                sl = hot_a[:, r * k : (r + g) * k].reshape(tb, g, k)
+                a_nat[:, r : r + g, :] = a_nat[:, r : r + g, :] + sl
+            b_ref[...] = b_ref[...] + jax.lax.dot_general(
+                wb_ref[...], yhot_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        @pl.when(j >= nd_hot)
+        def _cold():
+            _accum_cold_tile(yg_ref, w_ref, conf_ref, a_nat, b_ref)
+
+        @pl.when(j == nd - 1)
+        def _solve():
+            _solve_tile(a_nat, b_ref, x_ref, at_ref, xt_ref)
+
+    return kernel
 
 
 def _vmem_bytes(shape, itemsize):
@@ -320,25 +391,30 @@ def _vmem_bytes(shape, itemsize):
     return out
 
 
-def _build_tiles(n: int, d: int, k: int):
-    """(TB, BD) grid tiles for the fused build+solve kernel.
+def _block_minor(d: int, cap: int = 256) -> int:
+    """Largest legal Mosaic block size for a minor array dim of length d:
+    a multiple of 128 that divides d (capped), or d itself (a block equal
+    to the full dim is always legal, whatever its length)."""
+    for bd in (cap, 128):
+        if d > bd and d % bd == 0:
+            return bd
+    return d
 
-    BD: the largest divisor of d that is <= 256 (width classes are
-    2^a or 3*2^a, so this always exists and is itself 2^a or 3*2^a).
+
+def _build_tiles(n: int, d: int, k: int, h: int = 0, hot_itemsize: int = 2):
+    """(TB, BD, HB) grid tiles for the fused build+solve kernel.
+
+    BD: d unblocked when no 128-multiple divides it (e.g. the pow2_q grid's
+    320/448 widths), else 256/128 — a block's minor dim must be a multiple
+    of 128 or the full dim. HB: same rule for the hot width h (0 = no hot).
     TB: the largest power of two whose full padded VMEM footprint
-    (double-buffered in/out blocks + the three scratches) fits a 14 MB
-    budget — 2 MB headroom under the 16 MB scoped-vmem stack limit.
+    (double-buffered in/out blocks + the three scratches) fits a 10 MB
+    budget — headroom under the 16 MB scoped-vmem stack limit for the
+    unrolled build loop's ~2-4 MB of Mosaic stack temporaries (measured:
+    a 14 MB model OOMed the limit by 2.04 MB).
     """
-    # Mosaic requires a block's minor dim to be a multiple of 128 or the
-    # full array dim: d <= 256 stays unblocked; wider widths (2^a or
-    # 3*2^a, so divisible by 256 or by 128) block at 256 or 128.
-    if d <= 256:
-        bd = d
-    else:
-        bd = 256 if d % 256 == 0 else 128
-    # the unrolled build loop's straight-line Mosaic code needs ~2-4 MB of
-    # stack temporaries beyond the modeled buffers (measured: the 14 MB
-    # model OOMed the 16 MB scoped-vmem limit by 2.04 MB)
+    bd = _block_minor(d)
+    hb = _block_minor(h) if h else 0
     budget = 10 * 1024 * 1024
     tb = 256
     while tb > 8:
@@ -351,10 +427,16 @@ def _build_tiles(n: int, d: int, k: int):
             + 4 * _vmem_bytes((tb, k), 4)        # x + b out, double-buffered
             + 2 * _vmem_bytes((k, k), 4)         # ytyl
         )
+        if h:
+            need += (
+                4 * _vmem_bytes((tb, hb), hot_itemsize)   # w_a + w_b blocks
+                + 2 * _vmem_bytes((hb, k * k), hot_itemsize)  # z block
+                + 2 * _vmem_bytes((hb, k), hot_itemsize)      # y_hot block
+            )
         if need <= budget:
             break
         tb //= 2
-    return tb, bd
+    return tb, bd, hb
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -363,17 +445,28 @@ def build_solve(
     w: jax.Array,  # (N, D) f32 confidence-minus-one weights (alpha*v*mask)
     conf: jax.Array,  # (N, D) f32 confidences (mask + w)
     ytyl: jax.Array,  # (k, k) f32 YtY + lam*I
+    hot=None,  # optional (w_a (N, H), w_b (N, H)) static hot weights
+    y_hot: jax.Array | None = None,  # (H, k) hot fixed-factor rows
+    z: jax.Array | None = None,  # (H, k*k) rank-1 table vec(y_h y_h^T)
     interpret: bool = False,
 ):
     """Fused Hu-Koren build + Cholesky solve: returns (x (N, k), b (N, k)).
 
     Rows are independent; callers pad N to a tile multiple with zero
     w/conf rows (their A is YtY + lam*I, SPD, solved and discarded).
+    With ``hot`` given, each row's A/b additionally accumulate the
+    hot/cold-split head contribution (ops/hot.py) as in-VMEM GEMMs
+    against Z/y_hot — the XLA-GEMM equivalent would materialize an
+    (N, k, k) hot term in HBM, re-creating the round-trip this kernel
+    exists to remove.
     """
     n, d, k = yg.shape
     if k % _NB:
         raise ValueError(f"k={k} must be a multiple of {_NB}")
-    tb, bd = _build_tiles(n, d, k)
+    h = hot[0].shape[1] if hot is not None else 0
+    tb, bd, hb = _build_tiles(
+        n, d, k, h, hot[0].dtype.itemsize if hot is not None else 2
+    )
     if d % bd:
         raise ValueError(f"width {d} not a multiple of block {bd}")
     pad = (-n) % tb
@@ -382,35 +475,79 @@ def build_solve(
         w = jnp.pad(w, ((0, pad), (0, 0)))
         conf = jnp.pad(conf, ((0, pad), (0, 0)))
     npad = n + pad
-    grid = (npad // tb, d // bd)
+    nd_cold = d // bd
+    base_specs = [
+        pl.BlockSpec((k, k), lambda i, j: (0, 0)),
+    ]
+    out_specs = [
+        pl.BlockSpec((tb, k), lambda i, j: (i, 0)),
+        pl.BlockSpec((tb, k), lambda i, j: (i, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((npad, k), jnp.float32),
+        jax.ShapeDtypeStruct((npad, k), jnp.float32),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((tb, k, k), jnp.float32),
+        pltpu.VMEM((k, k, tb), jnp.float32),
+        pltpu.VMEM((k, tb), jnp.float32),
+    ]
+    cost = pl.CostEstimate(
+        flops=npad * d * (k * k + k) * 2
+        + npad * h * (k * k + k) * 2
+        + npad * (k * k * k // 3 + 2 * k * k),
+        bytes_accessed=npad * d * (k * 2 + 8)
+        + npad * h * 4
+        + 2 * npad * k * 4,
+        transcendentals=npad * k,
+    )
+    if hot is None:
+        x, b = pl.pallas_call(
+            _build_solve_kernel,
+            grid=(npad // tb, nd_cold),
+            in_specs=base_specs
+            + [
+                pl.BlockSpec((tb, bd, k), lambda i, j: (i, j, 0)),
+                pl.BlockSpec((tb, bd), lambda i, j: (i, j)),
+                pl.BlockSpec((tb, bd), lambda i, j: (i, j)),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(ytyl, yg, w, conf)
+        return x[:n], b[:n]
+
+    w_a, w_b = hot
+    if h % hb:
+        raise ValueError(f"hot width {h} not a multiple of block {hb}")
+    nd_hot = h // hb
+    if pad:
+        w_a = jnp.pad(w_a, ((0, pad), (0, 0)))
+        w_b = jnp.pad(w_b, ((0, pad), (0, 0)))
+    # hot blocks run first on the j axis, cold blocks after; clamped index
+    # maps re-present the same block outside its phase (revisited blocks
+    # are not re-fetched, so the only cost is one resident block each)
+    cold_j = lambda j: jnp.maximum(j - nd_hot, 0)  # noqa: E731
+    hot_j = lambda j: jnp.minimum(j, nd_hot - 1)  # noqa: E731
     x, b = pl.pallas_call(
-        _build_solve_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((k, k), lambda i, j: (0, 0)),
-            pl.BlockSpec((tb, bd, k), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((tb, bd), lambda i, j: (i, j)),
-            pl.BlockSpec((tb, bd), lambda i, j: (i, j)),
+        _make_build_solve_hot_kernel(nd_hot),
+        grid=(npad // tb, nd_hot + nd_cold),
+        in_specs=base_specs
+        + [
+            pl.BlockSpec((tb, bd, k), lambda i, j: (i, cold_j(j), 0)),
+            pl.BlockSpec((tb, bd), lambda i, j: (i, cold_j(j))),
+            pl.BlockSpec((tb, bd), lambda i, j: (i, cold_j(j))),
+            pl.BlockSpec((tb, hb), lambda i, j: (i, hot_j(j))),
+            pl.BlockSpec((tb, hb), lambda i, j: (i, hot_j(j))),
+            pl.BlockSpec((hb, k * k), lambda i, j: (hot_j(j), 0)),
+            pl.BlockSpec((hb, k), lambda i, j: (hot_j(j), 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((tb, k), lambda i, j: (i, 0)),
-            pl.BlockSpec((tb, k), lambda i, j: (i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((npad, k), jnp.float32),
-            jax.ShapeDtypeStruct((npad, k), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((tb, k, k), jnp.float32),
-            pltpu.VMEM((k, k, tb), jnp.float32),
-            pltpu.VMEM((k, tb), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=npad * d * (k * k + k) * 2
-            + npad * (k * k * k // 3 + 2 * k * k),
-            bytes_accessed=npad * d * (k * 2 + 8) + 2 * npad * k * 4,
-            transcendentals=npad * k,
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        cost_estimate=cost,
         interpret=interpret,
-    )(ytyl, yg, w, conf)
+    )(ytyl, yg, w, conf, w_a, w_b, z, y_hot)
     return x[:n], b[:n]

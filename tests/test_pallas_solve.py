@@ -11,6 +11,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # interpret-mode kernels: ~10 min on 1 vCPU
+
 from qmf_tpu.ops import linalg, pallas_solve
 
 
@@ -192,6 +194,98 @@ class TestFusedBuildSolve:
             np.asarray(b_x), axis=1
         )
         assert rel.max() < 5e-3, rel
+
+    def test_hot_inputs_match_unsplit_build(self):
+        """The hot/cold-split kernel (in-VMEM GEMMs vs Z) must equal the
+        unsplit kernel run on the full entry set (same math, head summed
+        on the MXU instead of gathered — ops/hot.py semantics)."""
+        rng = np.random.default_rng(21)
+        k, n, n_items, h = 16, 24, 40, 8
+        d_full, d_cold = 16, 16
+        alpha, lam = 40.0, 0.05
+        y = rng.normal(0, 0.3, (n_items, k)).astype(np.float32)
+        col_idx = rng.integers(0, n_items, (n, d_full)).astype(np.int32)
+        values = rng.uniform(0.5, 4.0, (n, d_full)).astype(np.float32)
+        mask = rng.uniform(size=(n, d_full)) < 0.8
+        # hot set = items 0..h-1; split each row's entries. Everything runs
+        # in f32 so the comparison isolates the WIRING (same products, only
+        # summation order differs); the production bf16 path's rounding
+        # behavior is covered by test_matches_dense_oracle/_multi_block.
+        is_hot = (col_idx < h) & mask
+        y_f = jnp.asarray(y)
+        ytyl = y_f.T @ y_f + lam * jnp.eye(k, dtype=jnp.float32)
+
+        def weights(m):
+            mf = m.astype(np.float32)
+            w = alpha * values * mf
+            return w, mf + w
+
+        # unsplit reference call
+        w_all, conf_all = weights(mask)
+        x_ref, b_ref = pallas_solve.build_solve(
+            y_f[jnp.asarray(col_idx)], jnp.asarray(w_all),
+            jnp.asarray(conf_all), ytyl, interpret=True,
+        )
+
+        # split call: cold stream keeps non-hot entries; hot entries become
+        # dense (n, h) weight rows
+        w_cold, conf_cold = weights(mask & ~is_hot)
+        w_a = np.zeros((n, h), np.float32)
+        w_b = np.zeros((n, h), np.float32)
+        for r, c in zip(*np.nonzero(is_hot)):
+            w_a[r, col_idx[r, c]] += alpha * values[r, c]
+            w_b[r, col_idx[r, c]] += 1.0 + alpha * values[r, c]
+        y_hot = y_f[:h]
+        z = (y_hot[:, :, None] * y_hot[:, None, :]).reshape(h, k * k)
+        x_split, b_split = pallas_solve.build_solve(
+            y_f[jnp.asarray(col_idx)], jnp.asarray(w_cold),
+            jnp.asarray(conf_cold), ytyl,
+            hot=(jnp.asarray(w_a), jnp.asarray(w_b)),
+            y_hot=y_hot, z=z, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(b_split), np.asarray(b_ref), rtol=1e-4, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(x_split), np.asarray(x_ref), rtol=1e-3, atol=1e-3
+        )
+
+    def test_hot_multi_block(self):
+        """Hot width > one block (nd_hot > 1) accumulates all hot slices."""
+        rng = np.random.default_rng(33)
+        k, n, h = 8, 16, 512  # hb = 256 -> 2 hot blocks
+        lam = 0.05
+        y_hot = jnp.asarray(
+            rng.normal(0, 0.2, (h, k)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        z = (y_hot[:, :, None] * y_hot[:, None, :]).reshape(h, k * k)
+        w_a = rng.uniform(0, 2.0, (n, h)).astype(np.float32)
+        w_b = w_a + (w_a > 0)
+        ytyl = lam * jnp.eye(k, dtype=jnp.float32)
+        # cold stream: a single fully-masked minimum-width block
+        d = 8
+        yg = jnp.zeros((n, d, k), jnp.bfloat16)
+        zeros = jnp.zeros((n, d), jnp.float32)
+        x, b = pallas_solve.build_solve(
+            yg, zeros, zeros, ytyl,
+            hot=(jnp.asarray(w_a, jnp.bfloat16),
+                 jnp.asarray(w_b, jnp.bfloat16)),
+            y_hot=y_hot, z=z, interpret=True,
+        )
+        # oracle in f32 from the bf16-rounded inputs
+        yh = np.asarray(y_hot, np.float32)
+        wa16 = np.asarray(jnp.asarray(w_a, jnp.bfloat16), np.float32)
+        wb16 = np.asarray(jnp.asarray(w_b, jnp.bfloat16), np.float32)
+        for r in range(n):
+            a_r = lam * np.eye(k) + (yh * wa16[r][:, None]).T @ yh
+            b_r = wb16[r] @ yh
+            np.testing.assert_allclose(
+                np.asarray(b)[r], b_r, rtol=2e-2, atol=1e-2
+            )
+            np.testing.assert_allclose(
+                np.asarray(x)[r], np.linalg.solve(a_r, b_r),
+                rtol=3e-2, atol=3e-2,
+            )
 
     def test_row_padding_and_d_blocking(self):
         """N not a tile multiple and D > the block size both work; padded
