@@ -170,6 +170,7 @@ class TestBPRInit:
             engine.init(_toy_dataset())
 
 
+@pytest.mark.slow
 class TestBPROptimize:
     def test_learns_pairwise_preferences(self):
         """Statistical test mirroring reference BPREngineTest optimize:

@@ -171,6 +171,7 @@ class TestGroupedPackRoundTrip:
         assert n_bad <= n_pos * num_neg * 0.05
 
 
+@pytest.mark.slow
 class TestWordSamplerRoundTrip:
     def test_reconstructed_negatives_avoid_positives(self):
         """membership="word" variant of the round-trip test: decode the
@@ -368,6 +369,7 @@ class TestBloomMembership:
         np.testing.assert_array_equal(np.asarray(via_bloom), np.asarray(exact))
 
 
+@pytest.mark.slow
 class TestGroupedEpochEngine:
     def _two_group_dataset(self, rng, n_users=30, n_items=24):
         users, items = [], []
@@ -601,6 +603,7 @@ class TestRejectReasons:
         assert np.isfinite(np.asarray(eng.params.user_factors)).all()
 
 
+@pytest.mark.slow
 class TestMergedScatters:
     def test_merged_equals_sequential(self):
         rng = np.random.default_rng(3)

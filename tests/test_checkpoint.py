@@ -39,6 +39,7 @@ class TestCheckpointPrimitives:
         assert ckpt.latest_checkpoint(str(tmp_path)) is None
 
 
+@pytest.mark.slow
 class TestWALSResume:
     def test_interrupted_run_resumes_to_identical_result(self, tmp_path):
         ds = _dataset()
@@ -82,6 +83,7 @@ class TestWALSResume:
         np.testing.assert_allclose(np.asarray(eng2.user_factors), factors)
 
 
+@pytest.mark.slow
 class TestBPRResume:
     def test_resume_restores_lr_and_params(self, tmp_path):
         ds = _dataset(1)

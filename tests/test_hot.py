@@ -86,6 +86,7 @@ class TestHotHelpers:
         assert h >= 256
 
 
+@pytest.mark.slow
 class TestHotSplitParity:
     """Split vs unsplit engines must produce near-identical f64 factors."""
 

@@ -37,6 +37,7 @@ class TestRecommend:
         np.testing.assert_array_equal(idx[0], [1, 2])
 
 
+@pytest.mark.slow
 class TestShardedBPR:
     def _dataset(self):
         rng = np.random.default_rng(0)

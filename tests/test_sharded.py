@@ -60,6 +60,7 @@ class TestShardedGramian:
         )
 
 
+@pytest.mark.slow
 class TestShardedEngineParity:
     @pytest.mark.parametrize("n_dev", [2, 8])
     def test_matches_single_chip_f64(self, n_dev):
