@@ -226,6 +226,16 @@ def main() -> None:
         batch_rows=int(os.environ.get("QMF_BENCH_BATCH_ROWS", "8192")),
         matmul_precision=PRECISION,
         **({"width_grid": WIDTH_GRID} if WIDTH_GRID else {}),
+        **(
+            {"solver": os.environ["QMF_BENCH_SOLVER"]}
+            if os.environ.get("QMF_BENCH_SOLVER")
+            else {}
+        ),
+        **(
+            {"max_width_classes": int(os.environ["QMF_BENCH_MAX_CLASSES"])}
+            if os.environ.get("QMF_BENCH_MAX_CLASSES")
+            else {}
+        ),
     )
     engine = WALSEngine(cfg)
     t_init = time.time()

@@ -88,15 +88,18 @@ class WALSConfig:
     # flat distribution wouldn't pay, 0 on CPU/f64 golden runs); an int
     # forces the same H on both sides; 0 disables.
     hot_width: int | str = "auto"
-    # Bound compiled program shapes: width classes covering less than
-    # min_class_nnz_frac of a side's nnz merge into the next larger class
-    # (their padding cost is bounded by their tiny nnz share), and at most
-    # max_width_classes remain per side (0 = no cap; the extra-padding-
-    # minimizing pairs merge first). Every distinct width is a compiled
-    # shape (~30-140 s warmup each through a remote compile service —
-    # BENCH_r03 measured 665 s of ml20m warmup at 43 classes).
+    # Bound compiled program shapes: at most max_width_classes width
+    # classes remain per side (0 = no cap) — the pairs whose merge adds the
+    # least padding (rows * width gap) merge first, which preferentially
+    # removes sparse classes. Every distinct width is a compiled shape
+    # (~30-140 s warmup each through a remote compile service — BENCH_r03
+    # measured 665 s of ml20m warmup at 43 classes; 12 classes/side cut it
+    # to ~315 s with init 168 s -> 86 s). min_class_nnz_frac > 0 adds an
+    # unconditional nnz-share merge rule; it is OFF by default because it
+    # ignores padding cost (measured: it pushed ml20m's smallest item class
+    # from width 8 to 128, +3.8M padded gather rows per epoch).
     max_width_classes: int = 12
-    min_class_nnz_frac: float = 0.01
+    min_class_nnz_frac: float = 0.0
 
 
 @dataclasses.dataclass

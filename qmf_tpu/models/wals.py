@@ -80,7 +80,7 @@ class WALSEngine(Engine):
         self._item_buckets: Optional[DeviceBuckets] = None
         # hot/cold split state per side: (hot_col_ids, per-class
         # (W_a, W_b, conf_hot)) or None (ops/hot.py). The sharded engine
-        # keeps these None (hot arrays are not shard-annotated yet).
+        # row-shards the per-class W arrays alongside their class arrays.
         self._user_hot = None
         self._item_hot = None
         self.test_users: Optional[np.ndarray] = None
@@ -154,7 +154,8 @@ class WALSEngine(Engine):
         return self.dtype
 
     def _pack_side_device(self, r32, c32, vals_d, rows_np, cols_np,
-                          n_rows, n_cols, deg_rows, deg_cols, h):
+                          n_rows, n_cols, deg_rows, deg_cols, h,
+                          row_multiple=8):
         """Device-pack one side's build arrays, optionally hot/cold split.
 
         Returns (class_arrays, plans, hot_state). With ``h > 0`` the side's
@@ -168,7 +169,7 @@ class WALSEngine(Engine):
         if h <= 0:
             arrays, plans = device_pack.pack_width_classes_device(
                 r32, c32, vals_d, n_rows, deg_rows, cfg.batch_rows,
-                width_grid=cfg.width_grid,
+                row_multiple=row_multiple, width_grid=cfg.width_grid,
                 max_classes=cfg.max_width_classes,
                 min_class_nnz_frac=cfg.min_class_nnz_frac,
             )
@@ -185,8 +186,8 @@ class WALSEngine(Engine):
         )
         arrays, plans = device_pack.pack_width_classes_device(
             r32, c32, vals_d, n_rows, cold_deg, cfg.batch_rows,
-            width_grid=cfg.width_grid, active_mask=deg_rows > 0,
-            presorted=presorted,
+            row_multiple=row_multiple, width_grid=cfg.width_grid,
+            active_mask=deg_rows > 0, presorted=presorted,
             max_classes=cfg.max_width_classes,
             min_class_nnz_frac=cfg.min_class_nnz_frac,
         )
@@ -200,14 +201,14 @@ class WALSEngine(Engine):
         )
 
     def _pack_side_host(self, rows_np, cols_np, vals_np, n_rows, n_cols,
-                        deg_rows, deg_cols, h):
+                        deg_rows, deg_cols, h, row_multiple=8):
         """Host-pack one side (optionally hot/cold split) — the CPU/f64
         golden path, and the correctness oracle for the split build."""
         cfg = self.config
         if h <= 0:
             classes = pack_width_classes(
                 rows_np, cols_np, vals_np, n_rows, cfg.batch_rows,
-                width_grid=cfg.width_grid,
+                row_multiple=row_multiple, width_grid=cfg.width_grid,
                 max_classes=cfg.max_width_classes,
                 min_class_nnz_frac=cfg.min_class_nnz_frac,
             )
@@ -218,8 +219,8 @@ class WALSEngine(Engine):
         is_hot = col_rank[cols_np] < h
         classes = pack_width_classes(
             rows_np[~is_hot], cols_np[~is_hot], np.asarray(vals_np)[~is_hot],
-            n_rows, cfg.batch_rows, width_grid=cfg.width_grid,
-            active_mask=deg_rows > 0,
+            n_rows, cfg.batch_rows, row_multiple=row_multiple,
+            width_grid=cfg.width_grid, active_mask=deg_rows > 0,
             max_classes=cfg.max_width_classes,
             min_class_nnz_frac=cfg.min_class_nnz_frac,
         )

@@ -32,6 +32,7 @@ from typing import List, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from qmf_tpu.ops.packing import Bucket
 
@@ -196,7 +197,7 @@ def _build_bucket(y, yty, col_idx, values, mask, alpha, lam, precision,
     return a, b, conf_sum
 
 
-def _solve_dispatch(a, b, solver):
+def _solve_dispatch(a, b, solver, spmd=None):
     if solver == "cholesky":
         return _solve_spd(a, b)
     if solver == "cholesky_matmul":
@@ -210,6 +211,17 @@ def _solve_dispatch(a, b, solver):
     if solver == "cholesky_xla":
         return _solve_spd_xla(a, b)
     if solver == "pallas":
+        if spmd is not None:
+            # pallas_call is not GSPMD-partitionable, but the batched solve
+            # has no cross-row dependency: shard_map runs one kernel per
+            # device on its (rows/n_dev, k, k) shard
+            mesh, axis = spmd
+            return jax.shard_map(
+                _solve_pallas,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis)),
+                out_specs=P(axis),
+            )(a, b)
         return _solve_pallas(a, b)
     if solver == "identity":
         # DEBUG-ONLY: x = b + A[:,0] (keeps A alive, skips the solve).
@@ -236,13 +248,13 @@ def _loss_from_solution(x, b, conf_sum, lam):
 
 def _solve_bucket_body(
     y, yty, col_idx, values, mask, alpha, lam, solver, precision="highest",
-    hot=None, y_hot=None, z=None,
+    hot=None, y_hot=None, z=None, spmd=None,
 ):
     """Untraced body of solve_bucket (shared by the fused half-epoch)."""
     a, b, conf_sum = _build_bucket(
         y, yty, col_idx, values, mask, alpha, lam, precision, hot, y_hot, z
     )
-    x = _solve_dispatch(a, b, solver)
+    x = _solve_dispatch(a, b, solver, spmd)
     return x, _loss_from_solution(x, b, conf_sum, lam)
 
 
@@ -298,7 +310,7 @@ def _chunk_hot(hot_cls, n_chunks, chunk_b):
 
 def _scan_class(y, yty, row_ids, col_idx, values, mask, alpha, lam, x_out,
                 loss_in, solver, chunk_b, precision, hot_cls=None,
-                y_hot=None, z=None):
+                y_hot=None, z=None, spmd=None):
     """Scan one width class's chunks into (x_out, loss). Shared body."""
     n_chunks = row_ids.shape[0] // chunk_b
     d = col_idx.shape[1]
@@ -312,7 +324,8 @@ def _scan_class(y, yty, row_ids, col_idx, values, mask, alpha, lam, x_out,
         x_acc, loss = carry
         ids, col, val, m, hot = inp
         x, l = _solve_bucket_body(
-            y, yty, col, val, m, alpha, lam, solver, precision, hot, y_hot, z
+            y, yty, col, val, m, alpha, lam, solver, precision, hot, y_hot,
+            z, spmd,
         )
         x_acc = x_acc.at[ids].set(x, mode="drop")
         return (x_acc, loss + jnp.sum(l)), None
@@ -352,7 +365,7 @@ def _scan_class_build(y, yty, col_idx, values, mask, alpha, lam, chunk_b,
 
 
 def _class_fused(y, ytyl, col_idx, values, mask, alpha, lam, precision,
-                 hot_cls=None, y_hot=None, z=None):
+                 hot_cls=None, y_hot=None, z=None, spmd=None):
     """One width class through the fused Pallas build+factor+solve kernel.
 
     XLA does the gather (one write of the (N, D, k) stream) and the weight
@@ -377,17 +390,42 @@ def _class_fused(y, ytyl, col_idx, values, mask, alpha, lam, precision,
         w_a, w_b, conf_hot = hot_cls
         conf_sum = conf_sum + conf_hot
         hot = (w_a, w_b)
-    k = y.shape[1]
     ytyl_f32 = ytyl.astype(jnp.float32)
-    x, b = pallas_solve.build_solve(
-        yg, w.astype(jnp.float32), conf.astype(jnp.float32), ytyl_f32,
-        hot=hot, y_hot=y_hot, z=z,
-    )
+    w32 = w.astype(jnp.float32)
+    conf32 = conf.astype(jnp.float32)
+    if spmd is not None:
+        # shard_map over the row axis: each device runs the kernel on its
+        # shard; the fixed-side stream is already gathered (row-aligned)
+        mesh, axis = spmd
+        row, rep = P(axis), P()
+        if hot is None:
+            x, b = jax.shard_map(
+                lambda yg_, w_, c_, yl_: pallas_solve.build_solve(
+                    yg_, w_, c_, yl_
+                ),
+                mesh=mesh,
+                in_specs=(row, row, row, rep),
+                out_specs=(row, row),
+            )(yg, w32, conf32, ytyl_f32)
+        else:
+            x, b = jax.shard_map(
+                lambda yg_, w_, c_, yl_, wa_, wb_, yh_, z_:
+                pallas_solve.build_solve(
+                    yg_, w_, c_, yl_, hot=(wa_, wb_), y_hot=yh_, z=z_
+                ),
+                mesh=mesh,
+                in_specs=(row, row, row, rep, row, row, rep, rep),
+                out_specs=(row, row),
+            )(yg, w32, conf32, ytyl_f32, hot[0], hot[1], y_hot, z)
+    else:
+        x, b = pallas_solve.build_solve(
+            yg, w32, conf32, ytyl_f32, hot=hot, y_hot=y_hot, z=z,
+        )
     return x, _loss_from_solution(x, b, conf_sum, lam)
 
 
 def _solve_side(y, class_arrays, chunk_sizes, n_rows, alpha, lam, solver,
-                precision, class_solve=True, hot=None):
+                precision, class_solve=True, hot=None, spmd=None):
     """All width classes of one side inside a single trace.
 
     class_solve=True (default) runs the three stages at SIDE granularity:
@@ -419,7 +457,7 @@ def _solve_side(y, class_arrays, chunk_sizes, n_rows, alpha, lam, solver,
         ):
             x, l = _class_fused(
                 y, ytyl, col_idx, values, mask, alpha, lam, precision,
-                hot_cls, y_hot, z,
+                hot_cls, y_hot, z, spmd,
             )
             loss = loss + jnp.sum(l)
             x_out = x_out.at[row_ids].set(x, mode="drop")
@@ -440,7 +478,7 @@ def _solve_side(y, class_arrays, chunk_sizes, n_rows, alpha, lam, solver,
             # concatenated-A copy (one extra multi-GB HBM round-trip at
             # ML-20M scale) the wide XLA solve needs
             for (row_ids, *_), (a, b, conf_sum) in zip(class_arrays, parts):
-                x = _solve_dispatch(a, b, solver)
+                x = _solve_dispatch(a, b, solver, spmd)
                 loss = loss + jnp.sum(
                     _loss_from_solution(x, b, conf_sum, lam)
                 )
@@ -450,7 +488,7 @@ def _solve_side(y, class_arrays, chunk_sizes, n_rows, alpha, lam, solver,
         b = jnp.concatenate([p[1] for p in parts], axis=0)
         conf_sum = jnp.concatenate([p[2] for p in parts], axis=0)
         row_ids = jnp.concatenate([c[0] for c in class_arrays], axis=0)
-        x = _solve_dispatch(a, b, solver)
+        x = _solve_dispatch(a, b, solver, spmd)
         loss = loss + jnp.sum(_loss_from_solution(x, b, conf_sum, lam))
         x_out = x_out.at[row_ids].set(x, mode="drop")
     else:
@@ -459,7 +497,7 @@ def _solve_side(y, class_arrays, chunk_sizes, n_rows, alpha, lam, solver,
         ):
             x_out, loss = _scan_class(
                 y, yty, row_ids, col_idx, values, mask, alpha, lam, x_out,
-                loss, solver, chunk_b, precision, hot_cls, y_hot, z,
+                loss, solver, chunk_b, precision, hot_cls, y_hot, z, spmd,
             )
     return x_out, loss
 
@@ -480,6 +518,7 @@ def train_epoch_impl(
     class_solve: bool = True,
     user_hot=None,  # (hot_ids, [per-class (w_a, w_b, conf_hot)]) or None
     item_hot=None,
+    spmd=None,  # (Mesh, axis name): run Pallas stages per-shard via shard_map
 ):
     """One FULL WALS epoch (both half-epochs) as a single device program.
 
@@ -493,11 +532,11 @@ def train_epoch_impl(
     del user_factors  # recomputed from scratch each epoch (reference zeroes)
     u_new, loss_u = _solve_side(
         item_factors, user_arrays, user_chunks, n_users, alpha, lam, solver,
-        precision, class_solve, user_hot,
+        precision, class_solve, user_hot, spmd,
     )
     v_new, loss_v = _solve_side(
         u_new, item_arrays, item_chunks, n_items, alpha, lam, solver,
-        precision, class_solve, item_hot,
+        precision, class_solve, item_hot, spmd,
     )
     return u_new, v_new, loss_u, loss_v
 
@@ -534,6 +573,7 @@ def train_epochs_impl(
     class_solve: bool = True,
     user_hot=None,
     item_hot=None,
+    spmd=None,
 ):
     """The WHOLE training run (``nepochs`` full epochs) as ONE device program.
 
@@ -551,11 +591,11 @@ def train_epochs_impl(
         _, v = carry
         u_new, _ = _solve_side(
             v, user_arrays, user_chunks, n_users, alpha, lam, solver,
-            precision, class_solve, user_hot,
+            precision, class_solve, user_hot, spmd,
         )
         v_new, loss_v = _solve_side(
             u_new, item_arrays, item_chunks, n_items, alpha, lam, solver,
-            precision, class_solve, item_hot,
+            precision, class_solve, item_hot, spmd,
         )
         return (u_new, v_new), loss_v
 
@@ -598,6 +638,7 @@ def width_class_solve_impl(
     hot_cls=None,
     y_hot=None,
     z=None,
+    spmd=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Solve one width class by lax.scan over fixed-size chunks.
 
@@ -608,7 +649,7 @@ def width_class_solve_impl(
     """
     return _scan_class(
         y, yty, row_ids, col_idx, values, mask, alpha, lam, x_out, loss_in,
-        solver, chunk_b, precision, hot_cls, y_hot, z,
+        solver, chunk_b, precision, hot_cls, y_hot, z, spmd,
     )
 
 

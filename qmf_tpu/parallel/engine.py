@@ -32,6 +32,36 @@ from qmf_tpu.parallel.sharded_wals import ShardedBuckets, iterate_side_sharded
 from qmf_tpu.utils.logging import log
 
 
+class _ShardedClassArrays:
+    """Per-width-class device tuples with the row axis mesh-sharded
+    (same .arrays() interface as sharded_wals.ShardedBuckets)."""
+
+    def __init__(self, arrays):
+        self._arrays = arrays
+
+    def arrays(self):
+        return self._arrays
+
+    def __len__(self):
+        return len(self._arrays)
+
+    @property
+    def row_ids(self):
+        return [a[0] for a in self._arrays]
+
+    @property
+    def col_idx(self):
+        return [a[1] for a in self._arrays]
+
+    @property
+    def values(self):
+        return [a[2] for a in self._arrays]
+
+    @property
+    def mask(self):
+        return [a[3] for a in self._arrays]
+
+
 class ShardedWALSEngine(WALSEngine):
     def __init__(
         self,
@@ -55,9 +85,60 @@ class ShardedWALSEngine(WALSEngine):
         self._train_epochs_fn = make_sharded_train_epochs(self.mesh, self.axis_name)
 
     def _auto_solver(self) -> str:
-        # pallas_call is not GSPMD-partitionable: sharded programs keep the
-        # XLA blocked Cholesky (see WALSEngine._auto_solver)
+        # pallas_call is not GSPMD-partitionable, but the batched solves
+        # have no cross-row dependency, so the sharded programs run the
+        # Pallas kernel per-shard via shard_map (als_ops._solve_dispatch
+        # with spmd set). Same resolution as single-chip: Pallas on f32
+        # accelerators, blocked XLA Cholesky on CPU/f64.
+        if self.dtype == jnp.float32 and jax.default_backend() != "cpu":
+            return "pallas"
         return "cholesky"
+
+    def _use_device_pack(self) -> bool:
+        # device-side packing builds global (sort + padded gather) programs;
+        # with multiple processes the raw COO would itself need a global
+        # layout first, so multi-host runs keep the host packer
+        if jax.process_count() > 1:
+            return False
+        return super()._use_device_pack()
+
+    def _shard_classes(self, arrays):
+        """Re-place per-class (row_ids, col_idx, values, mask) with the row
+        axis sharded over the mesh (device-to-device over ICI when the
+        source is the device packer's output)."""
+        row = NamedSharding(self.mesh, P(self.axis_name))
+        row2 = NamedSharding(self.mesh, P(self.axis_name, None))
+        return [
+            (
+                jax.device_put(r, row),
+                jax.device_put(c, row2),
+                jax.device_put(v, row2),
+                jax.device_put(m, row2),
+            )
+            for (r, c, v, m) in arrays
+        ]
+
+    def _shard_hot(self, hot_state):
+        """Row-shard the per-class static hot weights alongside their class
+        arrays; the hot id vector stays replicated (every shard's build
+        reads the same fixed-side head)."""
+        if hot_state is None:
+            return None
+        hot_ids, hot_classes = hot_state
+        rep = NamedSharding(self.mesh, P())
+        row = NamedSharding(self.mesh, P(self.axis_name))
+        row2 = NamedSharding(self.mesh, P(self.axis_name, None))
+        return (
+            jax.device_put(hot_ids, rep),
+            [
+                (
+                    jax.device_put(w_a, row2),
+                    jax.device_put(w_b, row2),
+                    jax.device_put(conf, row),
+                )
+                for (w_a, w_b, conf) in hot_classes
+            ],
+        )
 
     def init(self, dataset: Dataset) -> None:
         if self.user_factors is not None or self.item_factors is not None:
@@ -76,37 +157,73 @@ class ShardedWALSEngine(WALSEngine):
         rows = self.user_index.lookup(dataset.user_ids)
         cols = self.item_index.lookup(dataset.item_ids)
 
+        import time as _time
+
+        t0 = _time.time()
         # every scan chunk's row count divides the mesh so shards are even
         row_multiple = 8 * self.mesh.size
-        user_classes = pack_width_classes(
-            rows, cols, dataset.values, self.nusers, cfg.batch_rows,
-            row_multiple=row_multiple, width_grid=cfg.width_grid,
-            max_classes=cfg.max_width_classes,
-            min_class_nnz_frac=cfg.min_class_nnz_frac,
-        )
-        item_classes = pack_width_classes(
-            cols, rows, dataset.values, self.nitems, cfg.batch_rows,
-            row_multiple=row_multiple, width_grid=cfg.width_grid,
-            max_classes=cfg.max_width_classes,
-            min_class_nnz_frac=cfg.min_class_nnz_frac,
-        )
+        deg_u = np.bincount(rows, minlength=self.nusers)
+        deg_i = np.bincount(cols, minlength=self.nitems)
+        h_user = self._resolve_hot_width(deg_i, int((deg_u > 0).sum()))
+        h_item = self._resolve_hot_width(deg_u, int((deg_i > 0).sum()))
+        if self._use_device_pack():
+            from qmf_tpu.ops import device_pack
+
+            rows32 = jnp.asarray(rows.astype(np.int32))
+            cols32 = jnp.asarray(cols.astype(np.int32))
+            vals_d = jnp.asarray(dataset.values, dtype=self.dtype)
+            u_arrays, u_plans, user_hot = self._pack_side_device(
+                rows32, cols32, vals_d, rows, cols, self.nusers, self.nitems,
+                deg_u, deg_i, h_user, row_multiple=row_multiple,
+            )
+            i_arrays, i_plans, item_hot = self._pack_side_device(
+                cols32, rows32, vals_d, cols, rows, self.nitems, self.nusers,
+                deg_i, deg_u, h_item, row_multiple=row_multiple,
+            )
+            u_stats = device_pack.plan_stats(u_plans, len(dataset))
+            i_stats = device_pack.plan_stats(i_plans, len(dataset))
+            self._user_chunks = [p.chunk_b for p in u_plans]
+            self._item_chunks = [p.chunk_b for p in i_plans]
+        else:
+            user_classes, user_hot = self._pack_side_host(
+                rows, cols, dataset.values, self.nusers, self.nitems,
+                deg_u, deg_i, h_user, row_multiple=row_multiple,
+            )
+            item_classes, item_hot = self._pack_side_host(
+                cols, rows, dataset.values, self.nitems, self.nusers,
+                deg_i, deg_u, h_item, row_multiple=row_multiple,
+            )
+            u_stats = packed_stats(user_classes)
+            i_stats = packed_stats(item_classes)
+            u_arrays = [
+                (jnp.asarray(b.row_ids), jnp.asarray(b.col_idx),
+                 jnp.asarray(b.values, dtype=self.dtype),
+                 jnp.asarray(b.mask))
+                for b in user_classes
+            ]
+            i_arrays = [
+                (jnp.asarray(b.row_ids), jnp.asarray(b.col_idx),
+                 jnp.asarray(b.values, dtype=self.dtype),
+                 jnp.asarray(b.mask))
+                for b in item_classes
+            ]
+            self._user_chunks = chunks_for_classes(
+                user_classes, cfg.batch_rows, row_multiple=row_multiple
+            )
+            self._item_chunks = chunks_for_classes(
+                item_classes, cfg.batch_rows, row_multiple=row_multiple
+            )
+        u_sharded = self._shard_classes(u_arrays)
+        i_sharded = self._shard_classes(i_arrays)
+        self._user_buckets = _ShardedClassArrays(u_sharded)
+        self._item_buckets = _ShardedClassArrays(i_sharded)
+        self._user_hot = self._shard_hot(user_hot)
+        self._item_hot = self._shard_hot(item_hot)
         log.info(
-            "sharded packing over %d devices: users %s, items %s",
-            self.mesh.size,
-            packed_stats(user_classes),
-            packed_stats(item_classes),
-        )
-        self._user_buckets = ShardedBuckets(
-            user_classes, self.mesh, self.dtype, self.axis_name
-        )
-        self._item_buckets = ShardedBuckets(
-            item_classes, self.mesh, self.dtype, self.axis_name
-        )
-        self._user_chunks = chunks_for_classes(
-            user_classes, cfg.batch_rows, row_multiple=row_multiple
-        )
-        self._item_chunks = chunks_for_classes(
-            item_classes, cfg.batch_rows, row_multiple=row_multiple
+            "sharded packing over %d devices: users %s, items %s "
+            "hot=(%d,%d) (%.2fs)",
+            self.mesh.size, u_stats, i_stats, h_user, h_item,
+            _time.time() - t0,
         )
 
         item_init = FactorData(self.nitems, cfg.nfactors)
@@ -157,6 +274,8 @@ class ShardedWALSEngine(WALSEngine):
             item_chunks=tuple(self._item_chunks),
             nepochs=nepochs,
             class_solve=cfg.class_solve,
+            user_hot=self._user_hot,
+            item_hot=self._item_hot,
         )
         self.user_factors = u_new
         self.item_factors = v_new
@@ -243,6 +362,9 @@ class ShardedWALSEngine(WALSEngine):
             n_items=self._pad_items,
             user_chunks=tuple(self._user_chunks),
             item_chunks=tuple(self._item_chunks),
+            class_solve=cfg.class_solve,
+            user_hot=self._user_hot,
+            item_hot=self._item_hot,
         )
         self.user_factors = u_new
         self.item_factors = v_new
@@ -253,9 +375,11 @@ class ShardedWALSEngine(WALSEngine):
         if side == "user":
             fixed, buckets = self.item_factors, self._user_buckets
             chunks, n_pad = self._user_chunks, self._pad_users
+            hot = self._user_hot
         else:
             fixed, buckets = self.user_factors, self._item_buckets
             chunks, n_pad = self._item_chunks, self._pad_items
+            hot = self._item_hot
         new_factors, total_loss = iterate_side_sharded(
             fixed,
             buckets,
@@ -270,6 +394,7 @@ class ShardedWALSEngine(WALSEngine):
             axis_name=self.axis_name,
             solve_fn=self._solve_fn,
             precision=cfg.matmul_precision,
+            hot=hot,
         )
         if side == "user":
             self.user_factors = new_factors

@@ -104,7 +104,9 @@ def make_sharded_width_class_solve(mesh: Mesh, axis_name: str = "d"):
         NamedSharding(mesh, P()),
     )
     return jax.jit(
-        als_ops.width_class_solve_impl,
+        functools.partial(
+            als_ops.width_class_solve_impl, spmd=(mesh, axis_name)
+        ),
         static_argnames=("solver", "chunk_b", "precision"),
         donate_argnums=(8,),
         out_shardings=out_shardings,
@@ -123,7 +125,7 @@ def make_sharded_train_epoch(mesh: Mesh, axis_name: str = "d"):
     row = NamedSharding(mesh, P(axis_name, None))
     rep = NamedSharding(mesh, P())
     return jax.jit(
-        als_ops.train_epoch_impl,
+        functools.partial(als_ops.train_epoch_impl, spmd=(mesh, axis_name)),
         static_argnames=(
             "solver",
             "precision",
@@ -131,6 +133,7 @@ def make_sharded_train_epoch(mesh: Mesh, axis_name: str = "d"):
             "n_items",
             "user_chunks",
             "item_chunks",
+            "class_solve",
         ),
         donate_argnums=(0, 1),
         out_shardings=(row, row, rep, rep),
@@ -145,7 +148,7 @@ def make_sharded_train_epochs(mesh: Mesh, axis_name: str = "d"):
     row = NamedSharding(mesh, P(axis_name, None))
     rep = NamedSharding(mesh, P())
     return jax.jit(
-        als_ops.train_epochs_impl,
+        functools.partial(als_ops.train_epochs_impl, spmd=(mesh, axis_name)),
         static_argnames=(
             "solver",
             "precision",
@@ -180,6 +183,7 @@ def iterate_side_sharded(
     axis_name: str = "d",
     solve_fn=None,
     precision: str = "highest",
+    hot=None,
 ) -> Tuple[jax.Array, float]:
     """One sharded half-epoch; returns (row-sharded new factors, loss sum)."""
     if solve_fn is None:
@@ -200,4 +204,5 @@ def iterate_side_sharded(
         solve_fn=solve_fn,
         x_init=x_init,
         precision=precision,
+        hot=hot,
     )
