@@ -408,6 +408,10 @@ class BPREngine(Engine):
         self._ckpt_dir = directory
         self._ckpt_every = max(1, every)
 
+    def _place_params(self) -> None:
+        """Placement hook after a resume; the sharded engine re-pins the
+        replicated parameter layouts its epoch programs expect."""
+
     def _maybe_resume(self) -> int:
         from qmf_tpu.utils import checkpoint as ckpt
 
@@ -423,6 +427,7 @@ class BPREngine(Engine):
             jnp.asarray(arrays["item_factors"], dtype=self.dtype),
             jnp.asarray(arrays["item_biases"], dtype=self.dtype),
         )
+        self._place_params()  # sharded engine re-pins replicated layouts
         self.learning_rate = float(meta["learning_rate"])
         if "step_key" in arrays:
             # restore RNG state so resumed epochs draw the same

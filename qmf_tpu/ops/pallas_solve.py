@@ -343,22 +343,17 @@ def _make_build_solve_hot_kernel(nd_hot: int):
 
         @pl.when(j < nd_hot)
         def _hot():
-            hot_a = jax.lax.dot_general(  # (tb, k*k) f32
-                wa_ref[...], z_ref[...], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            # fold (tb, k*k) into a_nat (tb, k, k) g rows at a time, with
-            # g*k a 128 multiple so every lane slice offset stays
-            # 128-aligned; the (tb, g*k) -> (tb, g, k) minor split is a
-            # legal Mosaic reshape for 32-bit types
-            import math as _math
-
-            g = 128 // _math.gcd(k, 128)
-            if k % g:
-                g = k  # single whole-row reshape (offset 0, always aligned)
-            for r in range(0, k, g):
-                sl = hot_a[:, r * k : (r + g) * k].reshape(tb, g, k)
-                a_nat[:, r : r + g, :] = a_nat[:, r : r + g, :] + sl
+            # one (tb, hb) x (hb, k) MXU dot per A row-slab r against the
+            # slab view z[r] of the rank-1 table (z_ref is (k, hb, k) with
+            # z_ref[r, h, :] = y_h[r] * y_h): every accumulation writes a
+            # full (tb, k) slab — no lane-slicing or reshape of a flat
+            # (tb, k*k) product, which Mosaic cannot shape-cast
+            wa = wa_ref[...]
+            for r in range(k):
+                a_nat[:, r, :] = a_nat[:, r, :] + jax.lax.dot_general(
+                    wa, z_ref[r], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             b_ref[...] = b_ref[...] + jax.lax.dot_general(
                 wb_ref[...], yhot_ref[...], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -523,6 +518,9 @@ def build_solve(
     if h % hb:
         raise ValueError(f"hot width {h} not a multiple of block {hb}")
     nd_hot = h // hb
+    # slab view of the rank-1 table: z3[r, h, :] = y_h[r] * y_h (see the
+    # kernel's _hot branch for why the flat (H, k*k) layout can't be used)
+    z3 = z.reshape(h, k, k).transpose(1, 0, 2)
     if pad:
         w_a = jnp.pad(w_a, ((0, pad), (0, 0)))
         w_b = jnp.pad(w_b, ((0, pad), (0, 0)))
@@ -541,7 +539,7 @@ def build_solve(
             pl.BlockSpec((tb, bd), lambda i, j: (i, cold_j(j))),
             pl.BlockSpec((tb, hb), lambda i, j: (i, hot_j(j))),
             pl.BlockSpec((tb, hb), lambda i, j: (i, hot_j(j))),
-            pl.BlockSpec((hb, k * k), lambda i, j: (hot_j(j), 0)),
+            pl.BlockSpec((k, hb, k), lambda i, j: (0, hot_j(j), 0)),
             pl.BlockSpec((hb, k), lambda i, j: (hot_j(j), 0)),
         ],
         out_specs=out_specs,
@@ -549,5 +547,5 @@ def build_solve(
         scratch_shapes=scratch_shapes,
         cost_estimate=cost,
         interpret=interpret,
-    )(ytyl, yg, w, conf, w_a, w_b, z, y_hot)
+    )(ytyl, yg, w, conf, w_a, w_b, z3, y_hot)
     return x[:n], b[:n]

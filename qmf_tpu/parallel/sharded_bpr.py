@@ -122,6 +122,16 @@ class ShardedBPREngine(BPREngine):
             jax.device_put(self.params.item_biases, repl),
         )
 
+    def _place_params(self) -> None:
+        """Re-pin resumed (host-loaded) params replicated over the mesh so
+        the donated epoch programs see the layouts they were compiled for."""
+        repl = NamedSharding(self.mesh, P())
+        self.params = bpr_ops.BPRParams(
+            jax.device_put(self.params.user_factors, repl),
+            jax.device_put(self.params.item_factors, repl),
+            jax.device_put(self.params.item_biases, repl),
+        )
+
     def _epoch(self) -> None:
         cfg = self.config
         self._step_key, sub = jax.random.split(self._step_key)
