@@ -11,6 +11,10 @@ scan's cost decomposes into gathers / compute / scatters:
   noscatter   all scatters skipped (gathers + compute only)
   nogather    factor gathers replaced by broadcast row 0 (scatters remain)
   compute     neither gathers nor scatters (hash/sigmoid floor)
+  inscan      base + the presample pass folded INTO the step: Feistel-cost
+              index mix, (u,p) stream-row gather, bitmap-word gather, and
+              in-word rejection probes per negative — models removing the
+              separate presample+shuffle programs entirely
 """
 
 import sys
@@ -33,11 +37,38 @@ NUM_NEG, N_ROUNDS = 3, 4
 STEPS = 100
 
 
-def make_step(variant: str, batch: int, u_shift: int, rk):
+def make_step(variant: str, batch: int, u_shift: int, rk, up_arr=None,
+              words=None, wpu=0):
     def body(params, inp):
         ue, p, t = inp
-        w = (ue & 1).astype(params.user_factors.dtype)
-        u = jax.lax.shift_right_logical(ue, jnp.int32(u_shift))
+        if variant == "inscan":
+            lane0 = jnp.arange(batch, dtype=jnp.int32)
+            x = t * batch + lane0
+            # Feistel-grade mixing cost (3 rounds of mul/xor/shift)
+            for kx in (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D):
+                x = (x * jnp.int32(kx | 1)) & jnp.int32(0x7FFFFFFF)
+                x = x ^ (x >> 13) ^ (x >> 7)
+            idx = jnp.remainder(x, jnp.int32(up_arr.shape[0]))
+            up2 = up_arr[idx]  # (B, 2) stream-row gather
+            u = up2[:, 0]
+            p = up2[:, 1]
+            w = jnp.ones((batch,), params.user_factors.dtype)
+            # one bitmap word per positive + in-word probes
+            w_idx = u * jnp.int32(wpu) + jnp.remainder(x, jnp.int32(wpu))
+            w_row = words[w_idx]
+            b0 = x & 31
+            rbits = jnp.zeros((batch,), jnp.int32)
+            for j in range(NUM_NEG):
+                r_j = jnp.zeros((batch,), jnp.int32)
+                for r in range(N_ROUNDS - 1):
+                    bit = (b0 + 7 * (j * (N_ROUNDS - 1) + r)) & 31
+                    free = (jax.lax.shift_right_logical(w_row, bit) & 1) == 0
+                    r_j = jnp.where((r_j == 0) & free, r + 1, r_j)
+                rbits = rbits | (r_j << (1 + 2 * j))
+            ue = (u << jnp.int32(u_shift)) | rbits | 1
+        else:
+            w = (ue & 1).astype(params.user_factors.dtype)
+            u = jax.lax.shift_right_logical(ue, jnp.int32(u_shift))
         wcol = w[:, None]
         if variant in ("nogather", "compute"):
             pu = jnp.broadcast_to(params.user_factors[0], (batch, K))
@@ -132,8 +163,21 @@ def main():
     ).reshape(STEPS, batch)
     ts = jnp.arange(STEPS, dtype=jnp.int32)
 
+    up_arr = words = None
+    wpu = (I + 31) // 32
+    if "inscan" in variants:
+        up_arr = jnp.asarray(
+            np.stack(
+                [rng.integers(0, U, STEPS * batch),
+                 rng.integers(0, I, STEPS * batch)], axis=1
+            ).astype(np.int32)
+        )
+        words = jnp.asarray(
+            rng.integers(0, 1 << 31, U * wpu, dtype=np.int64).astype(np.int32)
+        )
+
     for variant in variants:
-        step = make_step(variant, batch, u_shift, rk)
+        step = make_step(variant, batch, u_shift, rk, up_arr, words, wpu)
 
         @jax.jit
         def run(p0, v=variant, s=step):
