@@ -37,15 +37,17 @@ NUM_NEG, N_ROUNDS = 3, 4
 STEPS = 100
 
 
-def make_step(variant: str, batch: int, u_shift: int, rk, up_arr=None,
-              words=None, wpu=0):
-    def body(params, inp):
+def make_step(variant: str, batch: int, u_shift: int, rk, wpu=0):
+    def body(carry, inp):
+        # carry = (params, up_arr, words) so the big sampling tables ride
+        # as traced args, not multi-hundred-MB jaxpr constants
+        params, up_arr, words = carry
         ue, p, t = inp
         if variant == "inscan":
             lane0 = jnp.arange(batch, dtype=jnp.int32)
             x = t * batch + lane0
             # Feistel-grade mixing cost (3 rounds of mul/xor/shift)
-            for kx in (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D):
+            for kx in (0x1E3779B1, 0x05EBCA77, 0x42B2AE3D):  # int32-safe
                 x = (x * jnp.int32(kx | 1)) & jnp.int32(0x7FFFFFFF)
                 x = x ^ (x >> 13) ^ (x >> 7)
             idx = jnp.remainder(x, jnp.int32(up_arr.shape[0]))
@@ -130,7 +132,9 @@ def make_step(variant: str, batch: int, u_shift: int, rk, up_arr=None,
                         itf = itf.at[neg_j].add(
                             lr * (-e_j[:, None] * pu - lam * qn_j * wcol)
                         )
-        return bpr_ops.BPRParams(uf, itf, params.item_biases), None
+        return (
+            bpr_ops.BPRParams(uf, itf, params.item_biases), up_arr, words
+        ), None
 
     return body
 
@@ -163,7 +167,6 @@ def main():
     ).reshape(STEPS, batch)
     ts = jnp.arange(STEPS, dtype=jnp.int32)
 
-    up_arr = words = None
     wpu = (I + 31) // 32
     if "inscan" in variants:
         up_arr = jnp.asarray(
@@ -175,21 +178,24 @@ def main():
         words = jnp.asarray(
             rng.integers(0, 1 << 31, U * wpu, dtype=np.int64).astype(np.int32)
         )
+    else:
+        up_arr = jnp.zeros((1, 2), jnp.int32)
+        words = jnp.zeros((1,), jnp.int32)
 
     for variant in variants:
-        step = make_step(variant, batch, u_shift, rk, up_arr, words, wpu)
+        step = make_step(variant, batch, u_shift, rk, wpu)
 
         @jax.jit
-        def run(p0, v=variant, s=step):
-            out, _ = jax.lax.scan(s, p0, (ue, pos, ts))
+        def run(p0, up2, wd, v=variant, s=step):
+            (out, _, _), _ = jax.lax.scan(s, (p0, up2, wd), (ue, pos, ts))
             return out
 
-        out = run(params)
+        out = run(params, up_arr, words)
         float(out.user_factors[0, 0])
         times = []
         for _ in range(3):
             t0 = time.time()
-            out = run(params)
+            out = run(params, up_arr, words)
             float(out.user_factors[0, 0])
             times.append(time.time() - t0)
         per_step = np.median(times) / STEPS

@@ -25,6 +25,18 @@ distributed/scheduler/Scheduler.cpp, RunOneTask.cpp). What changed and why:
   (reference wals_submit.cpp:27-91, Connection.cpp:152-156). Here submit
   sends the TextFormat *content* (path mode still accepted for
   compatibility).
+- Mid-task elastic attach (reference: any-time kAttachLabor + stale-state
+  re-push lets a new labor pick up buckets mid-epoch, Connection.cpp:
+  186-196, 307-413): DELIBERATELY NOT mirrored for healthy runs. A
+  jax.distributed process group is fixed at rendezvous, so absorbing a new
+  labor would mean aborting the in-flight attempt and restarting from the
+  last checkpoint — strictly worse than letting the healthy attempt finish
+  (the reference gained mid-epoch elasticity only because its work unit
+  was a 10k-row bucket; ours is a full epoch on the mesh). New labors ARE
+  absorbed at every natural boundary: the next task, AND every failure
+  retry (each retry re-runs the quorum over the currently-attached set,
+  see _run_multiproc) — so elasticity is lost only while a run needs no
+  recovery, exactly when extra workers buy nothing.
 """
 
 from __future__ import annotations
