@@ -529,6 +529,29 @@ class WALSEngine(Engine):
                 meta={"nfactors": self.config.nfactors, "engine": "wals"},
             )
 
+    @staticmethod
+    def _check_finite(loss: float, epoch: int) -> None:
+        """Divergence guard (the WALS analog of the reference BPR's
+        CHECK(isfinite), qmf/bpr/BPREngine.cpp:184-185; reference WALS
+        never needs one because it computes in f64).
+
+        The f32/bf16 path can lose positive-definiteness of the normal
+        equations on pathologically conditioned inputs — e.g. massive
+        duplicate (user, item) multiplicity summing thousands of
+        confidence terms into one rank-1 direction (measured: such a
+        dataset NaNs on TPU while f64/CPU is fine). Fail loudly with the
+        remediation options instead of silently saving NaN factors.
+        """
+        if not np.isfinite(loss):
+            raise FloatingPointError(
+                f"non-finite WALS training loss at epoch {epoch}: the "
+                "f32/bf16 device path lost positive-definiteness of the "
+                "normal equations (extreme conditioning, e.g. massive "
+                "duplicate user-item multiplicity). Retry with "
+                "--matmul_precision=highest, --solver=lu (the dsysv_-"
+                "faithful indefinite solver), or --dtype=float64."
+            )
+
     def optimize(self) -> None:
         if self.user_factors is None or self.item_factors is None:
             raise RuntimeError(
@@ -552,6 +575,7 @@ class WALSEngine(Engine):
                     loss,
                     elapsed / len(losses),
                 )
+            self._check_finite(losses[-1], nepochs)
             if self.progress_cb is not None:
                 self.progress_cb(nepochs, losses[-1], elapsed)
             self.evaluate(nepochs)
@@ -569,6 +593,7 @@ class WALSEngine(Engine):
             log.info(
                 "epoch %d: train loss = %.10g (%.3fs)", epoch, loss, dt
             )
+            self._check_finite(loss, epoch)
             if self.progress_cb is not None:
                 self.progress_cb(epoch, loss, dt)
             self.evaluate(epoch)

@@ -112,6 +112,13 @@ class TestPacking:
         wq = pad_widths(deg, width_grid="pow2_q")
         assert (wq <= w15).all() and (w15 <= w2).all()
 
+    def test_nonfinite_loss_raises_with_remediation(self):
+        # the divergence guard (f32 conditioning failures must not save
+        # NaN factors silently; reference BPR CHECK(isfinite) analog)
+        with pytest.raises(FloatingPointError, match="float64"):
+            WALSEngine._check_finite(float("nan"), epoch=3)
+        WALSEngine._check_finite(0.25, epoch=3)  # finite: no raise
+
     def test_coalesce_widths_bounds_classes(self):
         from qmf_tpu.ops.packing import coalesce_widths
 
