@@ -240,6 +240,23 @@ class TestControlPlane:
         finally:
             fx.close()
 
+    def test_labor_loss_flags_active_attempt(self):
+        """Losing a labor that participates in the in-flight multi-process
+        attempt must set the fail event (its worker died with it — no
+        task_done will arrive); losing a bystander labor must not."""
+        import asyncio as aio
+
+        sched = Scheduler("127.0.0.1", 0)
+        sched._fail_event = aio.Event()
+        sched._active_peers = {"10.0.0.1:1"}
+        sched._notice_labor_loss("10.0.0.2:9")  # bystander
+        assert not sched._fail_event.is_set()
+        sched._notice_labor_loss("10.0.0.1:1")  # participant
+        assert sched._fail_event.is_set()
+        # no in-flight attempt: must not crash
+        sched._fail_event = None
+        sched._notice_labor_loss("10.0.0.1:1")
+
     def test_labor_detach_is_noticed(self):
         fx = SchedulerFixture(runner=_fake_runner([]))
         labor = Labor("127.0.0.1", fx.port)
