@@ -176,6 +176,67 @@ class TestMultiChipCli:
         assert len(ids) == 30 and fd.nfactors == 6
 
 
+class TestRecommendCli:
+    def test_topn_from_factor_files_with_exclusion(self, tmp_path):
+        from qmf_tpu.cli import recommend as rec_cli
+        from qmf_tpu.data.factor_io import FactorData, save_factors
+        from qmf_tpu.data.id_index import IdIndex
+
+        # users 1,2 with orthogonal tastes over items 10..13
+        uf = FactorData(2, 2)
+        uf.factors[:] = [[1.0, 0.0], [0.0, 1.0]]
+        itf = FactorData(4, 2)
+        itf.factors[:] = [[2.0, 0.0], [1.0, 0.0], [0.0, 3.0], [0.0, 0.5]]
+        up, ip = tmp_path / "u.dat", tmp_path / "i.dat"
+        save_factors(uf, IdIndex(np.array([1, 2])), str(up))
+        save_factors(itf, IdIndex(np.array([10, 11, 12, 13])), str(ip))
+        seen = tmp_path / "train.txt"
+        seen.write_text("1 10 5\n")  # user 1 already saw item 10
+        out = tmp_path / "recs.txt"
+        rc = rec_cli.main(
+            [
+                f"--user_factors={up}",
+                f"--item_factors={ip}",
+                f"--exclude_seen={seen}",
+                "--topn=2",
+                f"--output={out}",
+            ]
+        )
+        assert rc == 0
+        lines = dict(
+            (l.split("\t")[0], l.split("\t")[1].split())
+            for l in out.read_text().strip().splitlines()
+        )
+        # user 1: item 10 excluded -> 11 tops; user 2: 12 then 13
+        assert lines["1"][0].startswith("11:")
+        assert lines["2"][0].startswith("12:")
+        assert lines["2"][1].startswith("13:")
+
+    def test_users_subset_and_unknown_user(self, tmp_path):
+        from qmf_tpu.cli import recommend as rec_cli
+        from qmf_tpu.data.factor_io import FactorData, save_factors
+        from qmf_tpu.data.id_index import IdIndex
+
+        uf = FactorData(2, 2)
+        uf.factors[:] = [[1.0, 0.0], [0.0, 1.0]]
+        itf = FactorData(2, 2)
+        itf.factors[:] = [[1.0, 0.0], [0.0, 1.0]]
+        up, ip = tmp_path / "u.dat", tmp_path / "i.dat"
+        save_factors(uf, IdIndex(np.array([5, 7])), str(up))
+        save_factors(itf, IdIndex(np.array([1, 2])), str(ip))
+        out = tmp_path / "r.txt"
+        rc = rec_cli.main(
+            [f"--user_factors={up}", f"--item_factors={ip}",
+             "--users=7", "--topn=1", f"--output={out}"]
+        )
+        assert rc == 0
+        assert out.read_text().startswith("7\t2:")
+        rc = rec_cli.main(
+            [f"--user_factors={up}", f"--item_factors={ip}", "--users=99"]
+        )
+        assert rc == 1  # unknown raw id fails loudly
+
+
 class TestGenUniformCli:
     def test_count_and_file(self, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)
