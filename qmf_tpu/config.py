@@ -36,13 +36,16 @@ class WALSConfig:
     # reference computes in float64 on CPU (qmf/Types.h:24).
     dtype: str = "float32"
     # "auto" resolves per backend: the fused single-pass Pallas factor+solve
-    # kernel on an f32 accelerator (ml20m k=64 epoch 219 ms vs 297 ms XLA,
-    # AUC parity |diff| 2e-05 — benchmarks/README.md), the unrolled blocked
-    # XLA Cholesky on CPU / f64 / sharded meshes (Pallas TPU has no f64 and
-    # pallas_call is not GSPMD-partitionable). Explicit choices: "cholesky"
-    # (blocked XLA SPD factor+solve), "pallas", "schur" (recursive explicit
-    # SPD inverse), "cholesky_matmul" (matmul-panel substitutions), or "lu"
-    # (general symmetric, matches dsysv_'s tolerance of indefinite systems).
+    # kernel on an f32 accelerator (ml20m k=64 epoch ~0.199 s vs ~0.29 s
+    # XLA, AUC parity |diff| 1.3e-04 at the production config —
+    # benchmarks/README.md; on meshes the kernel runs per-shard via
+    # shard_map), the unrolled blocked XLA Cholesky on CPU / f64 (Pallas
+    # TPU has no f64). Explicit choices: "cholesky" (blocked XLA SPD
+    # factor+solve), "pallas", "fused" (whole-class Pallas build+factor+
+    # solve — correct but measured slower than the split path at ml20m,
+    # see benchmarks/README.md), "schur" (recursive explicit SPD inverse),
+    # "cholesky_matmul" (matmul-panel substitutions), or "lu" (general
+    # symmetric, matches dsysv_'s tolerance of indefinite systems).
     solver: str = "auto"
     # Max rows per solve bucket on device; bounds compile count and memory.
     batch_rows: int = 4096

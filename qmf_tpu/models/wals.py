@@ -111,8 +111,8 @@ class WALSEngine(Engine):
         """Resolve solver="auto": the fused single-pass Pallas kernel on an
         f32 accelerator backend (no f64 on Pallas TPU; interpret-only on
         CPU), the batched blocked Cholesky everywhere else. The sharded
-        engine overrides this — pallas_call is not GSPMD-partitionable, so
-        multi-chip programs keep the XLA solver."""
+        engine resolves the same way and runs the kernel per-shard via
+        shard_map (als_ops._solve_dispatch with spmd set)."""
         if self.dtype == jnp.float32 and jax.default_backend() != "cpu":
             return "pallas"
         return "cholesky"
