@@ -99,17 +99,22 @@ def main(argv=None) -> int:
         from qmf_tpu.ops.bpr_ops import make_pos_set
 
         ds = read_dataset(fl.exclude_seen)
-        iid_to_idx = {int(i): j for j, i in enumerate(item_ids)}
-        u_idx, i_idx = [], []
-        for u, i in zip(ds.user_ids, ds.item_ids):
-            ui = uid_to_idx.get(int(u))
-            ii = iid_to_idx.get(int(i))
-            if ui is not None and ii is not None:
-                u_idx.append(ui)
-                i_idx.append(ii)
+
+        def remap(raw, file_ids):
+            # vectorized raw id -> factor-file row (or -1 if absent)
+            order = np.argsort(file_ids, kind="stable")
+            sorted_ids = np.asarray(file_ids)[order]
+            pos = np.searchsorted(sorted_ids, raw)
+            pos = np.clip(pos, 0, len(sorted_ids) - 1)
+            hit = sorted_ids[pos] == raw
+            return np.where(hit, order[pos], -1)
+
+        u_idx = remap(np.asarray(ds.user_ids), user_ids)
+        i_idx = remap(np.asarray(ds.item_ids), item_ids)
+        keep = (u_idx >= 0) & (i_idx >= 0)
         seen = make_pos_set(
-            np.asarray(u_idx, dtype=np.int64),
-            np.asarray(i_idx, dtype=np.int64),
+            u_idx[keep].astype(np.int64),
+            i_idx[keep].astype(np.int64),
             len(user_ids),
         )
 

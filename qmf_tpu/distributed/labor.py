@@ -45,6 +45,8 @@ class Labor:
         self.worker_pid: Optional[int] = None
         # taskid of a task_prepare that arrived while busy (acked on exit)
         self._pending_prepare: Optional[int] = None
+        # live worker subprocess handle (for task_abort kills)
+        self._worker_holder: Optional[Dict[str, Any]] = None
 
     async def run(self) -> None:
         """Connect, attach, then serve heartbeats/announcements forever."""
@@ -99,6 +101,23 @@ class Labor:
                 )
                 return None
             return {"kind": "task_ready", "taskid": msg.get("taskid", 0)}
+        if kind == "task_abort":
+            # the scheduler declared the rendezvous broken: kill our worker
+            # NOW so this labor can ack the retry's task_prepare instead of
+            # staying wedged on dead collectives until its own timeout
+            if (
+                msg.get("taskid", 0) == self.taskid
+                and self._worker_task is not None
+                and not self._worker_task.done()
+            ):
+                proc = (self._worker_holder or {}).get("proc")
+                if proc is not None and proc.returncode is None:
+                    log.warning(
+                        "task %d aborted by scheduler — killing worker",
+                        self.taskid,
+                    )
+                    proc.kill()
+            return None
         if kind == "task_start":
             self.taskid = msg.get("taskid", 0)
             self.epoch = 0
@@ -133,6 +152,7 @@ class Labor:
 
         taskid = msg.get("taskid", 0)
         holder: Dict[str, Any] = {}
+        self._worker_holder = holder
 
         def _spawned():
             self.worker_pid = holder.get("pid")
@@ -167,6 +187,7 @@ class Labor:
             }
         finally:
             self.worker_pid = None
+            self._worker_holder = None
         if self._writer is not None:
             try:
                 await protocol.write_frame(self._writer, reply)

@@ -317,6 +317,7 @@ class Scheduler:
                 dead.append(peer)
         for peer in dead:
             self.labors.pop(peer, None)
+            self._notice_labor_loss(peer)
         return sent
 
     def _record_progress(self, who: str, prog: Dict[str, Any]) -> None:
@@ -467,10 +468,17 @@ class Scheduler:
             if worker not in done:
                 # a labor's worker died: the rendezvous is broken and the
                 # survivors (incl. our process 0) would hang on the next
-                # collective — kill ours and let the retry loop recover
+                # collective — kill ours, tell every surviving labor to
+                # kill ITS worker too (otherwise they stay wedged on dead
+                # collectives and cannot ack the retry's quorum), and let
+                # the retry loop recover
                 proc = holder.get("proc")
                 if proc is not None and proc.returncode is None:
                     proc.kill()
+                await self._broadcast(
+                    {"kind": "task_abort", "taskid": taskid},
+                    peers=self._active_peers & set(self.labors),
+                )
                 try:
                     await worker
                 except Exception:  # noqa: BLE001 — expected: we killed it
@@ -479,6 +487,13 @@ class Scheduler:
                     "a labor worker failed mid-task; rendezvous aborted"
                 )
             result = await worker
+        except BaseException:
+            # process-0 worker failure/timeout: abort the survivors too
+            await self._broadcast(
+                {"kind": "task_abort", "taskid": taskid},
+                peers=self._active_peers & set(self.labors),
+            )
+            raise
         finally:
             fail.cancel()
             self._fail_event = None
@@ -667,15 +682,21 @@ def run_task(td: TaskDef, taskid: int) -> Dict[str, Any]:
         dtype=td.dtype,
         solver=td.solver,
     )
+    # x64 is a process-global switch and this daemon is long-lived: scope
+    # it to the task so a later float32 task isn't traced under x64
+    x64_before = jax.config.read("jax_enable_x64")
     if td.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
-    engine = ShardedWALSEngine(cfg)
-    engine.init(read_dataset(td.train_set))
-    engine.enable_checkpointing(default_ckpt_dir(td, taskid))
-    t0 = time.time()
-    engine.optimize()
-    engine.save_user_factors(td.user_factors)
-    engine.save_item_factors(td.item_factors)
+    try:
+        engine = ShardedWALSEngine(cfg)
+        engine.init(read_dataset(td.train_set))
+        engine.enable_checkpointing(default_ckpt_dir(td, taskid))
+        t0 = time.time()
+        engine.optimize()
+        engine.save_user_factors(td.user_factors)
+        engine.save_item_factors(td.item_factors)
+    finally:
+        jax.config.update("jax_enable_x64", x64_before)
     shutil.rmtree(default_ckpt_dir(td, taskid), ignore_errors=True)
     return {
         "nusers": engine.nusers,

@@ -49,10 +49,18 @@ def _force_virtual_cpu(n_local_devices: int) -> None:
 
 
 def default_ckpt_dir(td: TaskDef, taskid: int) -> str:
-    """Shared-fs checkpoint directory for a task, keyed by taskid so every
-    worker (and a retried attempt, or the scheduler's single-process
-    fallback) resumes the same run."""
-    return f"{td.user_factors}.ckpt_task{taskid}"
+    """Shared-fs checkpoint directory for a task, keyed by taskid AND a
+    digest of the task definition, so every worker (and a retried attempt,
+    or the scheduler's single-process fallback) resumes the same run —
+    while a DIFFERENT task that happens to reuse the output path and a
+    recycled taskid (scheduler restart; failed tasks leave their dir
+    behind) can never silently auto-resume foreign factors."""
+    import hashlib
+
+    digest = hashlib.sha1(
+        f"{td.train_set}|{td.nfactors}|{td.dtype}|{td.nepochs}".encode()
+    ).hexdigest()[:8]
+    return f"{td.user_factors}.ckpt_task{taskid}_{digest}"
 
 
 def run_worker(

@@ -660,6 +660,19 @@ width_class_solve = functools.partial(
 )(width_class_solve_impl)
 
 
+@functools.lru_cache(maxsize=64)
+def _fused_side_jit(precision: str, n_rows: int, spmd):
+    """Cached jit of the solver="fused" side program (spmd is a hashable
+    (Mesh, axis) tuple or None)."""
+    return jax.jit(
+        functools.partial(
+            _solve_side, solver="fused", precision=precision,
+            n_rows=n_rows, spmd=spmd,
+        ),
+        static_argnames=(),
+    )
+
+
 def iterate_side_classes(
     y: jax.Array,
     classes,  # list of (row_ids, col_idx, values, mask) device tuples
@@ -673,19 +686,16 @@ def iterate_side_classes(
     x_init=None,
     precision: str = "highest",
     hot=None,
+    spmd=None,
 ) -> Tuple[jax.Array, float]:
     """One half-epoch over width classes (one dispatch per class)."""
     if solve_fn is None:
         solve_fn = width_class_solve
     if solver == "fused":
-        # route through the fused-kernel side program (one jitted dispatch)
-        fused = jax.jit(
-            functools.partial(
-                _solve_side, solver="fused", precision=precision,
-                n_rows=n_rows,
-            ),
-            static_argnames=(),
-        )
+        # route through the fused-kernel side program (one jitted dispatch,
+        # cached per (precision, n_rows, spmd) so repeated half-epochs
+        # don't retrace)
+        fused = _fused_side_jit(precision, n_rows, spmd)
         x_out, loss = fused(
             y, classes, chunk_sizes,
             alpha=jnp.asarray(alpha, dtype=dtype),

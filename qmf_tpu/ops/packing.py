@@ -122,7 +122,7 @@ def coalesce_widths(
     widths: np.ndarray,
     degrees: np.ndarray,
     max_classes: int = 0,
-    min_nnz_frac: float = 0.01,
+    min_nnz_frac: float = 0.0,
 ) -> np.ndarray:
     """Bound the number of width classes by merging sparse ones upward.
 

@@ -396,7 +396,8 @@ def _block_minor(d: int, cap: int = 256) -> int:
     return d
 
 
-def _build_tiles(n: int, d: int, k: int, h: int = 0, hot_itemsize: int = 2):
+def _build_tiles(n: int, d: int, k: int, h: int = 0, hot_itemsize: int = 2,
+                 yg_itemsize: int = 2):
     """(TB, BD, HB) grid tiles for the fused build+solve kernel.
 
     BD: d unblocked when no 128-multiple divides it (e.g. the pow2_q grid's
@@ -414,7 +415,7 @@ def _build_tiles(n: int, d: int, k: int, h: int = 0, hot_itemsize: int = 2):
     tb = 256
     while tb > 8:
         need = (
-            2 * _vmem_bytes((tb, bd, k), 2)      # yg, double-buffered
+            2 * _vmem_bytes((tb, bd, k), yg_itemsize)  # yg, double-buffered
             + 4 * _vmem_bytes((tb, bd), 4)       # w + conf, double-buffered
             + _vmem_bytes((tb, k, k), 4)         # a_nat scratch
             + _vmem_bytes((k, k, tb), 4)         # at scratch
@@ -460,7 +461,8 @@ def build_solve(
         raise ValueError(f"k={k} must be a multiple of {_NB}")
     h = hot[0].shape[1] if hot is not None else 0
     tb, bd, hb = _build_tiles(
-        n, d, k, h, hot[0].dtype.itemsize if hot is not None else 2
+        n, d, k, h, hot[0].dtype.itemsize if hot is not None else 2,
+        yg_itemsize=yg.dtype.itemsize,
     )
     if d % bd:
         raise ValueError(f"width {d} not a multiple of block {bd}")

@@ -316,10 +316,13 @@ class ShardedWALSEngine(WALSEngine):
         collective every process must execute — _maybe_checkpoint runs at
         the same point in every worker), then read them host-side. Only
         process 0 writes the file (see _maybe_checkpoint)."""
-        rep = jax.jit(
-            lambda u, v: (u, v),
-            out_shardings=NamedSharding(self.mesh, P()),
-        )(self.user_factors, self.item_factors)
+        if not hasattr(self, "_replicate_fn"):
+            # built once: a fresh jax.jit object per epoch would retrace
+            self._replicate_fn = jax.jit(
+                lambda u, v: (u, v),
+                out_shardings=NamedSharding(self.mesh, P()),
+            )
+        rep = self._replicate_fn(self.user_factors, self.item_factors)
         return {
             "user_factors": np.asarray(rep[0])[: self.nusers],
             "item_factors": np.asarray(rep[1])[: self.nitems],

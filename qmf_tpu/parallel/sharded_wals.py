@@ -205,4 +205,5 @@ def iterate_side_sharded(
         x_init=x_init,
         precision=precision,
         hot=hot,
+        spmd=(mesh, axis_name),
     )
