@@ -37,7 +37,14 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_FILE = os.path.join(REPO, "benchmarks", "baseline_measured.json")
 PRESET = os.environ.get("QMF_BENCH_PRESET", "ml20m")
 NFACTORS = int(os.environ.get("QMF_BENCH_NFACTORS", "64"))
-EPOCHS = int(os.environ.get("QMF_BENCH_EPOCHS", "3"))
+EPOCHS = int(os.environ.get("QMF_BENCH_EPOCHS", "7"))
+# steady-state timing is rerun when (max-min)/median across the reps exceeds
+# this (observed contention signature: BENCH_r04 spread was 1.5x where quiet
+# windows hold +-1%); up to SPREAD_ROUNDS measurement rounds are taken and
+# the lowest-spread round is reported
+SPREAD_THRESHOLD = float(os.environ.get("QMF_BENCH_SPREAD_THRESHOLD", "0.15"))
+SPREAD_ROUNDS = int(os.environ.get("QMF_BENCH_SPREAD_ROUNDS", "4"))
+SPREAD_RETRY_SLEEP_S = float(os.environ.get("QMF_BENCH_SPREAD_SLEEP_S", "30"))
 # bf16 normal-equation builds: validated for quality (test-AUC parity vs the
 # reference binary |diff| = 3.8e-05 << 1e-3, benchmarks/auc_parity.py with
 # QMF_PARITY_PRECISION=default); engine default stays "highest".
@@ -137,6 +144,61 @@ def _measure_reference_bpr(train_path: str, n_triplets: int) -> dict:
         "ref_updates_per_s_16core_extrapolated": ups_1core
         * ASSUMED_REF_THREAD_SCALING,
     }
+
+
+def _measure_steady(step, label: str) -> float:
+    """Time EPOCHS steady-state reps of `step()` (which must block until the
+    device work is done), with contention detection.
+
+    The single v5e chip and the 1-vCPU host are shared; a concurrent job
+    inflates and scatters timings (BENCH_r04: 0.368-0.563 s epochs where
+    quiet windows hold +-1%). Guard: compute spread = (max-min)/median; if it
+    exceeds SPREAD_THRESHOLD, sleep and re-measure, up to SPREAD_ROUNDS
+    rounds, then report the lowest-spread round. Returns the median of that
+    round; prints median/min/spread per round.
+    """
+    import numpy as np
+
+    best = None  # (spread, median, times)
+    for rnd in range(1, SPREAD_ROUNDS + 1):
+        times = []
+        for _ in range(EPOCHS):
+            t0 = time.time()
+            step()
+            times.append(time.time() - t0)
+        med = float(np.median(times))
+        spread = (max(times) - min(times)) / med if med > 0 else 0.0
+        print(
+            f"# {label} round {rnd}: {[f'{t:.3f}' for t in times]} "
+            f"median {med:.4f}s min {min(times):.4f}s spread {spread*100:.1f}%",
+            file=sys.stderr,
+        )
+        if best is None or spread < best[0]:
+            best = (spread, med, times)
+        if spread <= SPREAD_THRESHOLD:
+            break
+        if rnd < SPREAD_ROUNDS:
+            print(
+                f"# {label}: spread {spread*100:.1f}% > "
+                f"{SPREAD_THRESHOLD*100:.0f}% (likely chip/host contention); "
+                f"re-measuring in {SPREAD_RETRY_SLEEP_S:.0f}s",
+                file=sys.stderr,
+            )
+            time.sleep(SPREAD_RETRY_SLEEP_S)
+    spread, med, times = best
+    if spread > SPREAD_THRESHOLD:
+        print(
+            f"# {label}: WARNING all {SPREAD_ROUNDS} rounds exceeded the "
+            f"{SPREAD_THRESHOLD*100:.0f}% spread threshold; reporting the "
+            f"lowest-spread round (spread {spread*100:.1f}%)",
+            file=sys.stderr,
+        )
+    print(
+        f"# {label} final: median {med:.4f}s min {min(times):.4f}s "
+        f"spread {spread*100:.1f}%",
+        file=sys.stderr,
+    )
+    return med
 
 
 def _wait_for_backend() -> None:
@@ -247,15 +309,14 @@ def main() -> None:
     engine._fused_epoch()
     print(f"# warmup epoch (incl. compile): {time.time() - t0:.2f}s", file=sys.stderr)
 
-    times = []
-    loss = float("nan")
-    for _ in range(EPOCHS):
-        t0 = time.time()
-        loss = engine._fused_epoch()  # float(loss) inside = true device sync
-        times.append(time.time() - t0)
-    print(f"# final loss: {loss:.6f}", file=sys.stderr)
-    epoch_s = float(np.median(times))
-    print(f"# steady epochs: {[f'{t:.3f}' for t in times]}", file=sys.stderr)
+    loss_box = [float("nan")]
+
+    def _step():
+        # float(loss) inside _fused_epoch = true device sync
+        loss_box[0] = engine._fused_epoch()
+
+    epoch_s = _measure_steady(_step, "wals steady")
+    print(f"# final loss: {loss_box[0]:.6f}", file=sys.stderr)
 
     # MFU estimate: epoch FLOPs = per-side A-build (2*padded_nnz*k^2) +
     # b-build (2*padded_nnz*k) + Cholesky solves ((U+I) * (k^3/3 + 2k^2))
@@ -331,17 +392,15 @@ def _bench_bpr(ds, train_path: str) -> None:
         f"# bpr warmup epoch (incl. compile): {time.time() - t0:.2f}s",
         file=sys.stderr,
     )
-    times = []
-    for _ in range(EPOCHS):
-        t0 = time.time()
+    def _step():
         eng._epoch()
         _sync()
-        times.append(time.time() - t0)
-    epoch_s = float(np.median(times))
+
+    epoch_s = _measure_steady(_step, "bpr steady")
     ups = n_real / epoch_s
     print(
-        f"# bpr steady epochs: {[f'{t:.3f}' for t in times]}, "
-        f"{n_real / 1e6:.1f}M real triplets -> {ups / 1e6:.2f}M updates/s",
+        f"# bpr: {n_real / 1e6:.1f}M real triplets / {epoch_s:.3f}s "
+        f"-> {ups / 1e6:.2f}M updates/s",
         file=sys.stderr,
     )
 

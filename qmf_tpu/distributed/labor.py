@@ -47,6 +47,8 @@ class Labor:
         self._pending_prepare: Optional[int] = None
         # live worker subprocess handle (for task_abort kills)
         self._worker_holder: Optional[Dict[str, Any]] = None
+        # in-flight drain of the last progress frame (backpressure guard)
+        self._progress_drain: Optional[asyncio.Future] = None
 
     async def run(self) -> None:
         """Connect, attach, then serve heartbeats/announcements forever."""
@@ -110,13 +112,26 @@ class Labor:
                 and self._worker_task is not None
                 and not self._worker_task.done()
             ):
-                proc = (self._worker_holder or {}).get("proc")
+                holder = self._worker_holder or {}
+                proc = holder.get("proc")
                 if proc is not None and proc.returncode is None:
                     log.warning(
                         "task %d aborted by scheduler — killing worker",
                         self.taskid,
                     )
                     proc.kill()
+                else:
+                    # abort raced the subprocess spawn: the holder exists but
+                    # the pid-poll loop hasn't populated 'proc' yet. Leave a
+                    # flag; _run_worker kills the subprocess the moment it
+                    # appears (otherwise the labor stays wedged on dead
+                    # collectives until the worker timeout)
+                    holder["aborted"] = True
+                    log.warning(
+                        "task %d aborted before worker spawn completed — "
+                        "deferred kill armed",
+                        self.taskid,
+                    )
             return None
         if kind == "task_start":
             self.taskid = msg.get("taskid", 0)
@@ -136,15 +151,31 @@ class Labor:
     def _on_progress(self, prog: Dict[str, Any]) -> None:
         """Forward the worker's per-epoch progress to the scheduler (the
         reference's mid-epoch progress reports, RunOneTask.cpp:208-212) and
-        keep the local heartbeat state current."""
+        keep the local heartbeat state current.
+
+        Backpressure: a stalled scheduler connection must not accumulate
+        per-epoch frames unboundedly in the transport buffer for the life of
+        a long task — skip the frame when the transport is closing or a
+        previous drain hasn't completed (progress is a lossy live view; the
+        next epoch's frame supersedes it anyway)."""
         self.epoch = prog.get("epoch", self.epoch)
-        if self._writer is not None:
-            try:
-                self._writer.write(
-                    protocol.encode_frame({"kind": "progress", **prog})
-                )
-            except (ConnectionError, RuntimeError):
-                pass
+        w = self._writer
+        if w is None or w.transport.is_closing():
+            return
+        if self._progress_drain is not None and not self._progress_drain.done():
+            return  # previous frame still draining: drop this one
+        try:
+            w.write(protocol.encode_frame({"kind": "progress", **prog}))
+            self._progress_drain = asyncio.ensure_future(self._drain(w))
+        except (ConnectionError, RuntimeError):
+            pass
+
+    @staticmethod
+    async def _drain(w: asyncio.StreamWriter) -> None:
+        try:
+            await w.drain()
+        except (ConnectionError, RuntimeError):
+            pass
 
     async def _run_worker(self, msg: Dict[str, Any]) -> None:
         from qmf_tpu.distributed.scheduler import run_worker_subprocess
@@ -166,6 +197,10 @@ class Labor:
                 num_processes=msg["num_processes"],
                 process_id=msg["process_id"],
                 n_local_devices=msg.get("n_local_devices", 0),
+                # the scheduler's configured per-attempt wall is authoritative
+                # (it detects failures much earlier via task_done/labor-loss;
+                # this is the last-resort backstop on both sides)
+                timeout=msg.get("worker_timeout", 3600.0),
                 proc_holder=holder,
                 on_progress=self._on_progress,
             )
@@ -174,6 +209,12 @@ class Labor:
             while not task.done() and "pid" not in holder:
                 await asyncio.sleep(0.01)
             _spawned()
+            # a task_abort that raced the spawn left a deferred-kill flag
+            proc = holder.get("proc")
+            if holder.get("aborted") and proc is not None and \
+                    proc.returncode is None:
+                log.warning("task %d: executing deferred abort kill", taskid)
+                proc.kill()
             result = await task
             self.last_result = result
             reply = {"kind": "task_done", "taskid": taskid, "rc": 0}

@@ -220,6 +220,11 @@ class Scheduler:
                 and self.current is not None
                 and msg.get("taskid") == self.current.get("taskid")
                 and self._fail_event is not None
+                # retries reuse the taskid, so a stale failure report from an
+                # aborted labor that missed this attempt's quorum window must
+                # not abort the healthy attempt: only participants of the
+                # in-flight attempt can fail it
+                and peer in self._active_peers
             ):
                 self._fail_event.set()
             return None
@@ -250,7 +255,11 @@ class Scheduler:
                 "history": self.history[-20:],
             }
         if kind == "heartbeat":
-            return {"kind": "info_rsp", "taskid": self.taskid, "epoch": 0}
+            return {
+                "kind": "info_rsp",
+                "taskid": self.taskid,
+                "epoch": self._current_epoch(),
+            }
         return {"kind": "error", "message": f"unknown kind {kind!r}"}
 
     async def _on_submit(self, msg: Dict[str, Any]) -> Dict[str, Any]:
@@ -319,6 +328,15 @@ class Scheduler:
             self.labors.pop(peer, None)
             self._notice_labor_loss(peer)
         return sent
+
+    def _current_epoch(self) -> int:
+        """Epoch the running task has reached (max over worker progress
+        reports; the reference put the live epchoid in every reply header,
+        Message.h:100-104)."""
+        if self.current is None:
+            return 0
+        prog = self.current.get("progress") or {}
+        return max((p.get("epoch", 0) for p in prog.values()), default=0)
 
     def _record_progress(self, who: str, prog: Dict[str, Any]) -> None:
         """Attach per-worker progress to the running task (status_rsp shows
@@ -443,6 +461,7 @@ class Scheduler:
                     "num_processes": num_processes,
                     "process_id": i + 1,
                     "n_local_devices": self.n_local_devices,
+                    "worker_timeout": self.worker_timeout,
                 },
                 peers=[peer],
             )

@@ -54,11 +54,15 @@ def default_ckpt_dir(td: TaskDef, taskid: int) -> str:
     or the scheduler's single-process fallback) resumes the same run —
     while a DIFFERENT task that happens to reuse the output path and a
     recycled taskid (scheduler restart; failed tasks leave their dir
-    behind) can never silently auto-resume foreign factors."""
+    behind) can never silently auto-resume foreign factors. The digest
+    covers the FULL task definition — a leftover dir from a run with a
+    different regularization_lambda/confidence_weight/solver must not be
+    resumed either."""
     import hashlib
+    import json as _json
 
     digest = hashlib.sha1(
-        f"{td.train_set}|{td.nfactors}|{td.dtype}|{td.nepochs}".encode()
+        _json.dumps(td.to_dict(), sort_keys=True).encode()
     ).hexdigest()[:8]
     return f"{td.user_factors}.ckpt_task{taskid}_{digest}"
 

@@ -106,6 +106,14 @@ class BPREngine(Engine):
         cfg = self.config
         if cfg.neg_sampler not in ("word", "rounds"):
             raise ValueError(f"unknown BPR neg_sampler {cfg.neg_sampler!r}")
+        stages = self._init_stages = {}  # stage -> seconds (observability)
+        t_stage = time.time()
+
+        def _mark(name):
+            nonlocal t_stage
+            stages[name] = round(time.time() - t_stage, 3)
+            t_stage = time.time()
+
         # positives: value >= 1.0, ids indexed in first-appearance order
         keep = dataset.values >= 1.0
         users_raw = dataset.user_ids[keep]
@@ -114,10 +122,12 @@ class BPREngine(Engine):
         self.item_index = IdIndex.from_first_occurrence(items_raw)
         self._data_users = self.user_index.lookup(users_raw).astype(np.int32)
         self._data_items = self.item_index.lookup(items_raw).astype(np.int32)
+        _mark("index")
 
         self._pos_set = bpr_ops.make_pos_set(
             self._data_users, self._data_items, self.nusers
         )
+        _mark("pos_set")
         # O(1) membership bitmap for the hot sampler when the id space
         # fits the budget (U*I/8 bytes). Beyond it, a blocked Bloom filter
         # (memory independent of n_items) + compacted exact CSR verify
@@ -149,6 +159,8 @@ class BPREngine(Engine):
                 bitmap_bytes >> 20, cfg.bitmap_budget_mb, bits,
                 self.nusers * bits / 8 / 2**20,
             )
+
+        _mark("membership")
 
         # grouped fast path: ONE stream row per positive pair; the row's
         # num_negative_samples negatives live as 2-bit round indices
@@ -218,8 +230,11 @@ class BPREngine(Engine):
             )
         else:
             self._build_triplet_stream()
+        _mark("stream")
 
         self._post_stream_init()
+        _mark("eval_and_params")
+        log.info("BPR init stages (s): %s", stages)
 
     def _build_triplet_stream(self) -> None:
         """Legacy triplet stream: each positive pair repeated
@@ -267,7 +282,11 @@ class BPREngine(Engine):
         ev_p = jnp.repeat(
             jnp.asarray(self._data_items), self.eval_num_neg
         )
+        t0 = time.time()
         ev_n = self._sample_eval_negatives(ev_u)
+        ev_n.block_until_ready()
+        if hasattr(self, "_init_stages"):
+            self._init_stages["eval_neg"] = round(time.time() - t0, 3)
         self._eval_set = (ev_u, ev_p, ev_n)
 
         # model init (reference BPREngine.cpp:89-104)

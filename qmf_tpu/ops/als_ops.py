@@ -425,7 +425,8 @@ def _class_fused(y, ytyl, col_idx, values, mask, alpha, lam, precision,
 
 
 def _solve_side(y, class_arrays, chunk_sizes, n_rows, alpha, lam, solver,
-                precision, class_solve=True, hot=None, spmd=None):
+                precision, class_solve=True, hot=None, spmd=None,
+                x_init=None):
     """All width classes of one side inside a single trace.
 
     class_solve=True (default) runs the three stages at SIDE granularity:
@@ -439,7 +440,13 @@ def _solve_side(y, class_arrays, chunk_sizes, n_rows, alpha, lam, solver,
     210 ms no-solve floor; benchmarks/solver_sweep.py, wals_micro.py).
     """
     yty = gramian(y)
-    x_out = jnp.zeros((n_rows, y.shape[1]), dtype=y.dtype)
+    # callers may pass a pre-placed accumulator (e.g. row-sharded zeros) so
+    # donated next-epoch programs keep their compiled layout (sharded
+    # engines request solver="fused" through iterate_side_classes)
+    x_out = (
+        x_init if x_init is not None
+        else jnp.zeros((n_rows, y.shape[1]), dtype=y.dtype)
+    )
     loss = jnp.zeros((), dtype=y.dtype)
     if hot is not None:
         hot_ids, hot_classes = hot
@@ -701,6 +708,7 @@ def iterate_side_classes(
             alpha=jnp.asarray(alpha, dtype=dtype),
             lam=jnp.asarray(lam, dtype=dtype),
             hot=hot,
+            x_init=x_init,
         )
         return x_out, float(loss)
     yty = gramian(y)

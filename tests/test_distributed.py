@@ -257,6 +257,42 @@ class TestControlPlane:
         sched._fail_event = None
         sched._notice_labor_loss("10.0.0.1:1")
 
+    def test_stale_task_done_cannot_fail_healthy_attempt(self):
+        """Retries reuse the taskid: a failure report from an aborted labor
+        of a PREVIOUS attempt (not in _active_peers) must not abort the
+        in-flight healthy attempt."""
+        import asyncio as aio
+
+        sched = Scheduler("127.0.0.1", 0)
+        sched.current = {"taskid": 7}
+        sched._fail_event = aio.Event()
+        sched._active_peers = {"10.0.0.1:1"}
+        msg = {"kind": "task_done", "taskid": 7, "rc": 1}
+        aio.run(sched._dispatch(msg, "10.0.0.9:9", None))  # stale bystander
+        assert not sched._fail_event.is_set()
+        aio.run(sched._dispatch(msg, "10.0.0.1:1", None))  # participant
+        assert sched._fail_event.is_set()
+
+    def test_heartbeat_reply_reports_running_epoch(self):
+        """The info_rsp to a labor-initiated heartbeat must carry the task's
+        live epoch (the reference put the epchoid in every reply header),
+        not a hard-coded 0."""
+        import asyncio as aio
+
+        sched = Scheduler("127.0.0.1", 0)
+        sched.taskid = 3
+        rsp = aio.run(sched._dispatch({"kind": "heartbeat"}, "p:1", None))
+        assert rsp == {"kind": "info_rsp", "taskid": 3, "epoch": 0}
+        sched.current = {
+            "taskid": 3,
+            "progress": {
+                "scheduler": {"epoch": 4},
+                "10.0.0.1:1": {"epoch": 5},
+            },
+        }
+        rsp = aio.run(sched._dispatch({"kind": "heartbeat"}, "p:1", None))
+        assert rsp["epoch"] == 5
+
     def test_labor_detach_is_noticed(self):
         fx = SchedulerFixture(runner=_fake_runner([]))
         labor = Labor("127.0.0.1", fx.port)

@@ -316,3 +316,43 @@ class TestFusedBuildSolve:
         # x conf~81 x |y|~0.3 ~ 1.2e3) dominates cancelled entries
         np.testing.assert_allclose(np.asarray(b), b_want, rtol=2e-2, atol=5.0)
         np.testing.assert_allclose(np.asarray(x), x_want, rtol=5e-2, atol=5e-2)
+
+    def test_build_tiles_pow2_q_widths(self):
+        """Regression (round-3 advisor finding): the pow2_q grid emits
+        widths no 128-multiple divides (320 = 5/8*512, 448 = 7/8*512,
+        plus the sub-128 quarter points); _build_tiles must fall back to
+        an unblocked D (block == full dim is always legal) instead of
+        emitting an illegal partial block."""
+        for d in (10, 12, 14, 20, 24, 28, 320, 384, 448):
+            tb, bd, hb = pallas_solve._build_tiles(64, d, 64)
+            assert d % bd == 0, (d, bd)
+            assert bd % 128 == 0 or bd == d, (d, bd)
+            assert tb >= 8 and hb == 0
+
+    def test_build_solve_pow2_q_width_320(self):
+        """End-to-end fused kernel at a pow2_q-only width (solver=fused +
+        width_grid=pow2_q crashed here before the _block_minor fallback)."""
+        rng = np.random.default_rng(17)
+        k, n, d, n_items = 8, 8, 320, 30
+        y = rng.normal(0, 0.3, (n_items, k)).astype(np.float32)
+        col_idx = rng.integers(0, n_items, (n, d)).astype(np.int32)
+        values = rng.uniform(0.5, 2.0, (n, d)).astype(np.float32)
+        mask = (rng.uniform(size=(n, d)) < 0.1)
+        maskf = mask.astype(np.float32)
+        w = 40.0 * values * maskf
+        conf = maskf + w
+        ytyl = (
+            jnp.asarray(y).T @ jnp.asarray(y)
+            + 0.05 * jnp.eye(k, dtype=jnp.float32)
+        )
+        x, b = pallas_solve.build_solve(
+            jnp.asarray(y).astype(jnp.bfloat16)[jnp.asarray(col_idx)],
+            jnp.asarray(w),
+            jnp.asarray(conf),
+            ytyl,
+            interpret=True,
+        )
+        assert x.shape == (n, k)
+        x_want, b_want = self._oracle(y, col_idx, values, mask, 40.0, 0.05)
+        np.testing.assert_allclose(np.asarray(b), b_want, rtol=2e-2, atol=5.0)
+        np.testing.assert_allclose(np.asarray(x), x_want, rtol=5e-2, atol=5e-2)
