@@ -372,6 +372,11 @@ def _bench_bpr(ds, train_path: str) -> None:
         num_negative_samples=BPR_NUM_NEG,
         batch_size=BPR_BATCH,
         init_seed=0,
+        **(
+            {"item_scatter": os.environ["QMF_BENCH_BPR_ITEM_SCATTER"]}
+            if os.environ.get("QMF_BENCH_BPR_ITEM_SCATTER")
+            else {}
+        ),
     )
     eng = BPREngine(cfg)
     t0 = time.time()

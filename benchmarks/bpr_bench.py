@@ -77,7 +77,7 @@ def main():
             batch_size=bs,
             neg_resample_rounds=rounds,
             neg_sampler=sampler,
-            merge_item_scatters=merge,
+            item_scatter=("merged" if merge else "seq"),
             init_seed=0,
         )
         eng = BPREngine(cfg)

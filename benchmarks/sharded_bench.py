@@ -13,7 +13,9 @@ the 1-device epoch (i.e. the sharded program does the same work per chip
 without pathological collectives), per the round-3 verdict.
 
 Environment knobs: QMF_SHARDED_PRESET (default ml1m), QMF_SHARDED_NFACTORS
-(default 64), QMF_SHARDED_CPU=1 (force CPU + virtual devices).
+(default 64), QMF_SHARDED_CPU=1 (force CPU + virtual devices),
+QMF_SHARDED_ENGINE=bpr (measure the sharded grouped BPR epoch instead of
+WALS; k defaults still apply, batch 4096 * n_devices).
 """
 
 import os
@@ -51,33 +53,71 @@ NFACTORS = int(os.environ.get("QMF_SHARDED_NFACTORS", "64"))
 REPS = int(os.environ.get("QMF_SHARDED_REPS", "3"))
 
 
+def _measure_wals(ds, n):
+    cfg = WALSConfig(
+        nepochs=1,
+        nfactors=NFACTORS,
+        init_seed=0,
+        matmul_precision="default",
+    )
+    eng = ShardedWALSEngine(cfg, n_devices=n)
+    t0 = time.time()
+    eng.init(ds)
+    print(f"n={n}: init {time.time() - t0:.1f}s "
+          f"(solver={eng._solver})", flush=True)
+    t0 = time.time()
+    eng._fused_epoch()
+    print(f"n={n}: warmup epoch {time.time() - t0:.1f}s", flush=True)
+    times = []
+    for _ in range(REPS):
+        t0 = time.time()
+        loss = eng._fused_epoch()  # float() inside = device sync
+        times.append(time.time() - t0)
+    return float(np.median(times)), float(loss)
+
+
+def _measure_bpr(ds, n):
+    from qmf_tpu.config import BPRConfig
+    from qmf_tpu.parallel import ShardedBPREngine
+
+    cfg = BPRConfig(
+        nepochs=1,
+        nfactors=min(NFACTORS, 30),
+        batch_size=4096 * n,
+        init_seed=0,
+    )
+    eng = ShardedBPREngine(cfg, n_devices=n)
+    t0 = time.time()
+    eng.init(ds)
+    path = "grouped" if eng._grouped else "stream"
+    print(f"n={n}: init {time.time() - t0:.1f}s ({path} path)", flush=True)
+
+    def _sync():
+        return float(eng.params.user_factors[0, 0])
+
+    t0 = time.time()
+    eng._epoch()
+    _sync()
+    print(f"n={n}: warmup epoch {time.time() - t0:.1f}s", flush=True)
+    times = []
+    for _ in range(REPS):
+        t0 = time.time()
+        eng._epoch()
+        _sync()
+        times.append(time.time() - t0)
+    return float(np.median(times)), float("nan")
+
+
 def main():
     sizes = [int(s) for s in sys.argv[1:]] or [1, N_VIRTUAL]
     datagen.ensure_dataset(PRESET)
     users, items, values = datagen.load_npz(PRESET)
     ds = Dataset(users, items, values)
+    engine = os.environ.get("QMF_SHARDED_ENGINE", "wals")
+    measure = _measure_bpr if engine == "bpr" else _measure_wals
     results = {}
     for n in sizes:
-        cfg = WALSConfig(
-            nepochs=1,
-            nfactors=NFACTORS,
-            init_seed=0,
-            matmul_precision="default",
-        )
-        eng = ShardedWALSEngine(cfg, n_devices=n)
-        t0 = time.time()
-        eng.init(ds)
-        print(f"n={n}: init {time.time() - t0:.1f}s "
-              f"(solver={eng._solver})", flush=True)
-        t0 = time.time()
-        eng._fused_epoch()
-        print(f"n={n}: warmup epoch {time.time() - t0:.1f}s", flush=True)
-        times = []
-        for _ in range(REPS):
-            t0 = time.time()
-            loss = eng._fused_epoch()  # float() inside = device sync
-            times.append(time.time() - t0)
-        ep = float(np.median(times))
+        ep, loss = measure(ds, n)
         results[n] = ep
         print(
             f"n={n}: epoch {ep:.3f}s (loss {loss:.6f})",

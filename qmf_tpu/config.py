@@ -159,12 +159,17 @@ class BPRConfig:
     # keep their (positive) round-0 candidate — the engine logs when that
     # happens. 1/16 covers avg_degree/n_items collision rates up to ~6%.
     collide_cap_frac: float = 1.0 / 16.0
-    # Merge the grouped scan's item-side scatter-adds (positive +
-    # num_negative_samples updates) into one wide scatter per step.
-    # Semantically identical (scatter-add sums duplicates); off by default
-    # until validated on the target runtime (a merged wide scatter
-    # kernel-faulted one TPU runtime generation).
-    merge_item_scatters: bool = False
+    # Item-side scatter strategy for the grouped scan's 1+num_neg B-row
+    # updates per step. "seq": sequential scatter-adds on the live table
+    # (the conservatively-stable default). "merged": one wide
+    # (1+num_neg)*B-row scatter (kernel-faulted one TPU runtime
+    # generation; retestable). "dense": segment-sum the update stream into
+    # a fresh zeroed (n_items, k) accumulator and add it densely — the
+    # scatter stops read-modify-writing the live factor table, removing
+    # its serialization against the next step's gathers (measured A/B in
+    # benchmarks/bpr_dedup_scan_micro.py). All three are semantically
+    # identical (duplicate-index contributions sum either way).
+    item_scatter: str = "seq"
     # Negative-sampler strategy for the grouped epoch when the exact bitmap
     # is available. "word": each positive ROW gathers ONE bitmap word; slot
     # j's probe rounds r < R-1 test spread-out bits of that word

@@ -397,7 +397,7 @@ class BPREngine(Engine):
                 batch_size=self._grp_batch,
                 collide_cap=self._collide_cap,
                 pos_set=self._pos_set if self._pos_bloom is not None else None,
-                merge_item_scatters=cfg.merge_item_scatters,
+                item_scatter=cfg.item_scatter,
                 sampler=cfg.neg_sampler,
             )
             return

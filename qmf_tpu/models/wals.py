@@ -237,6 +237,38 @@ class WALSEngine(Engine):
         )
 
     # --- lifecycle -----------------------------------------------------------
+    # init is shared with ShardedWALSEngine (parallel/engine.py) through
+    # three placement hooks — _row_multiple, _place_side, _install_factors —
+    # so the pack/stats/chunks logic exists exactly once and the two engines
+    # cannot drift bucket-incompatible.
+    def _row_multiple(self) -> int:
+        """Row-count multiple every scan chunk must divide into (the sharded
+        engine raises it to 8 * mesh.size so shards stay even)."""
+        return 8
+
+    def _place_side(self, side: str, arrays, hot, chunks) -> None:
+        """Install one packed side. ``arrays`` is a list of per-class
+        (row_ids, col_idx, values, mask) device tuples; ``hot`` is the
+        optional hot-split state; ``chunks`` the per-class scan chunk
+        sizes. The sharded engine overrides this to row-shard everything."""
+        buckets = DeviceBuckets(
+            row_ids=[a[0] for a in arrays],
+            col_idx=[a[1] for a in arrays],
+            values=[a[2] for a in arrays],
+            mask=[a[3] for a in arrays],
+        )
+        setattr(self, f"_{side}_buckets", buckets)
+        setattr(self, f"_{side}_chunks", chunks)
+        setattr(self, f"_{side}_hot", hot)
+
+    def _install_factors(self, item_factors_np: np.ndarray) -> None:
+        """Place the initial factor matrices on device (sharded engine:
+        pad to mesh-divisible heights and pin row shardings)."""
+        self.item_factors = jnp.asarray(item_factors_np, dtype=self.dtype)
+        self.user_factors = jnp.zeros(
+            (self.nusers, self.config.nfactors), dtype=self.dtype
+        )
+
     def init(self, dataset: Dataset) -> None:
         if self.user_factors is not None or self.item_factors is not None:
             raise RuntimeError("engine was already initialized with train data")
@@ -258,72 +290,67 @@ class WALSEngine(Engine):
         cols = self.item_index.lookup(dataset.item_ids)
 
         t0 = time.time()
+        row_multiple = self._row_multiple()
         deg_u = np.bincount(rows, minlength=self.nusers)
         deg_i = np.bincount(cols, minlength=self.nitems)
         h_user = self._resolve_hot_width(deg_i, int((deg_u > 0).sum()))
         h_item = self._resolve_hot_width(deg_u, int((deg_i > 0).sum()))
         if self._use_device_pack():
+            from qmf_tpu.ops import device_pack
+
             rows32 = jnp.asarray(rows.astype(np.int32))
             cols32 = jnp.asarray(cols.astype(np.int32))
             vals_d = jnp.asarray(dataset.values, dtype=self.dtype)
-            u_arrays, u_plans, self._user_hot = self._pack_side_device(
+            u_arrays, u_plans, user_hot = self._pack_side_device(
                 rows32, cols32, vals_d, rows, cols, self.nusers, self.nitems,
-                deg_u, deg_i, h_user,
+                deg_u, deg_i, h_user, row_multiple=row_multiple,
             )
-            i_arrays, i_plans, self._item_hot = self._pack_side_device(
+            i_arrays, i_plans, item_hot = self._pack_side_device(
                 cols32, rows32, vals_d, cols, rows, self.nitems, self.nusers,
-                deg_i, deg_u, h_item,
+                deg_i, deg_u, h_item, row_multiple=row_multiple,
             )
-            from qmf_tpu.ops import device_pack
-
-            self._user_buckets = DeviceBuckets(
-                row_ids=[a[0] for a in u_arrays],
-                col_idx=[a[1] for a in u_arrays],
-                values=[a[2] for a in u_arrays],
-                mask=[a[3] for a in u_arrays],
-            )
-            self._item_buckets = DeviceBuckets(
-                row_ids=[a[0] for a in i_arrays],
-                col_idx=[a[1] for a in i_arrays],
-                values=[a[2] for a in i_arrays],
-                mask=[a[3] for a in i_arrays],
-            )
-            self._user_chunks = [p.chunk_b for p in u_plans]
-            self._item_chunks = [p.chunk_b for p in i_plans]
-            log.info(
-                "device-packed %d ratings: users %s, items %s "
-                "hot=(%d,%d) (%.2fs)",
-                len(dataset),
-                device_pack.plan_stats(u_plans, len(dataset)),
-                device_pack.plan_stats(i_plans, len(dataset)),
-                h_user, h_item,
-                time.time() - t0,
-            )
+            u_stats = device_pack.plan_stats(u_plans, len(dataset))
+            i_stats = device_pack.plan_stats(i_plans, len(dataset))
+            u_chunks = [p.chunk_b for p in u_plans]
+            i_chunks = [p.chunk_b for p in i_plans]
+            pack_kind = "device-packed"
         else:
-            user_classes, self._user_hot = self._pack_side_host(
+            user_classes, user_hot = self._pack_side_host(
                 rows, cols, dataset.values, self.nusers, self.nitems,
-                deg_u, deg_i, h_user,
+                deg_u, deg_i, h_user, row_multiple=row_multiple,
             )
-            item_classes, self._item_hot = self._pack_side_host(
+            item_classes, item_hot = self._pack_side_host(
                 cols, rows, dataset.values, self.nitems, self.nusers,
-                deg_i, deg_u, h_item,
+                deg_i, deg_u, h_item, row_multiple=row_multiple,
             )
-            log.info(
-                "packed %d ratings: users %s, items %s hot=(%d,%d) (%.2fs)",
-                len(dataset),
-                packed_stats(user_classes),
-                packed_stats(item_classes),
-                h_user, h_item,
-                time.time() - t0,
+            u_stats = packed_stats(user_classes)
+            i_stats = packed_stats(item_classes)
+            db_u = DeviceBuckets.from_host(user_classes, self.dtype)
+            db_i = DeviceBuckets.from_host(item_classes, self.dtype)
+            u_arrays = [
+                (db_u.row_ids[i], db_u.col_idx[i], db_u.values[i],
+                 db_u.mask[i])
+                for i in range(len(db_u))
+            ]
+            i_arrays = [
+                (db_i.row_ids[i], db_i.col_idx[i], db_i.values[i],
+                 db_i.mask[i])
+                for i in range(len(db_i))
+            ]
+            u_chunks = chunks_for_classes(
+                user_classes, cfg.batch_rows, row_multiple=row_multiple
             )
-            self._user_buckets = DeviceBuckets.from_host(
-                user_classes, self.dtype
+            i_chunks = chunks_for_classes(
+                item_classes, cfg.batch_rows, row_multiple=row_multiple
             )
-            self._item_buckets = DeviceBuckets.from_host(
-                item_classes, self.dtype
-            )
-            self._user_chunks = chunks_for_classes(user_classes, cfg.batch_rows)
-            self._item_chunks = chunks_for_classes(item_classes, cfg.batch_rows)
+            pack_kind = "packed"
+        self._place_side("user", u_arrays, user_hot, u_chunks)
+        self._place_side("item", i_arrays, item_hot, i_chunks)
+        log.info(
+            "%s %d ratings: users %s, items %s hot=(%d,%d) (%.2fs)",
+            pack_kind, len(dataset), u_stats, i_stats, h_user, h_item,
+            time.time() - t0,
+        )
 
         # item factors init: uniform or deterministic file; user factors zero
         # (overwritten in the first user half-epoch) — WALSEngine.cpp:55-68.
@@ -334,10 +361,7 @@ class WALSEngine(Engine):
             item_init.set_factors_uniform(
                 cfg.init_distribution_bound, np.random.default_rng(cfg.init_seed)
             )
-        self.item_factors = jnp.asarray(item_init.factors, dtype=self.dtype)
-        self.user_factors = jnp.zeros(
-            (self.nusers, cfg.nfactors), dtype=self.dtype
-        )
+        self._install_factors(item_init.factors)
 
     def init_test(self, test_dataset: Dataset) -> None:
         if self.test_users is not None:

@@ -129,6 +129,13 @@ def hot_tables(y_hot: jax.Array, precision: str):
     return yh, z
 
 
+def _flat_gather(y: jax.Array, col_idx: jax.Array) -> jax.Array:
+    """Row-gather ``y[col_idx]`` through raveled indices: one flat (B*D,)
+    gather + reshape instead of a batched (B, D) gather (measurably faster
+    per row at wide D; benchmarks/gather_micro.py)."""
+    return y[col_idx.ravel()].reshape(col_idx.shape + y.shape[1:])
+
+
 def _build_bucket(y, yty, col_idx, values, mask, alpha, lam, precision,
                   hot=None, y_hot=None, z=None):
     """Normal-equation build for one padded bucket: (A (B,k,k), b (B,k),
@@ -154,8 +161,11 @@ def _build_bucket(y, yty, col_idx, values, mask, alpha, lam, precision,
         # anyway; casting BEFORE the gather is numerically the same rounding
         # but halves the dominant HBM cost of the build — the (B, D, k)
         # gathered-factor stream (measured BW-bound, benchmarks/
-        # stage_decomp.py). Accumulation stays f32.
-        yg = y.astype(jnp.bfloat16)[col_idx]
+        # stage_decomp.py). Accumulation stays f32. Indices are raveled
+        # before the gather: a flat 1-D row gather issues ~25% faster than
+        # the equivalent batched (B, D) gather at wide D on this chip
+        # (benchmarks/gather_micro.py "flat" idiom).
+        yg = _flat_gather(y.astype(jnp.bfloat16), col_idx)
         b = jnp.einsum(
             "bd,bdk->bk",
             conf.astype(jnp.bfloat16),
@@ -176,7 +186,7 @@ def _build_bucket(y, yty, col_idx, values, mask, alpha, lam, precision,
             + lam * jnp.eye(yty.shape[0], dtype=dtype)
         )
     else:
-        yg = y[col_idx]
+        yg = _flat_gather(y, col_idx)
         b = jnp.einsum("bd,bdk->bk", conf, yg, precision=prec)
         a = (
             yty[None]
@@ -381,9 +391,9 @@ def _class_fused(y, ytyl, col_idx, values, mask, alpha, lam, precision,
     w = alpha * values * maskf
     conf = maskf + w
     if precision == "default" and dtype == jnp.float32:
-        yg = y.astype(jnp.bfloat16)[col_idx]
+        yg = _flat_gather(y.astype(jnp.bfloat16), col_idx)
     else:
-        yg = y[col_idx]
+        yg = _flat_gather(y, col_idx)
     conf_sum = jnp.sum(conf, axis=1)
     hot = None
     if hot_cls is not None:

@@ -950,7 +950,7 @@ def _sgd_epoch_scan_grouped_body(
     n_items: int,
     n_rounds: int,
     u_shift: int,
-    merge_item_scatters: bool = False,
+    item_scatter: str = "seq",
     sampler: str = "rounds",
     wpu: int = 0,
 ) -> BPRParams:
@@ -1017,11 +1017,7 @@ def _sgd_epoch_scan_grouped_body(
         uf = params.user_factors.at[u].add(lr * du)
         e_sum = sum(es)
         dp = e_sum[:, None] * pu - num_neg * item_lambda * qp * wcol
-        if merge_item_scatters:
-            # ONE (1+num_neg)*B-row scatter-add for the whole item-side
-            # update. Scatter-add sums duplicates in unspecified order, so
-            # this is semantically identical to the sequential scatters;
-            # it trades num_neg+1 scatter dispatches for one wider one.
+        if item_scatter in ("merged", "dense"):
             all_idx = jnp.concatenate(
                 [p] + [neg_j for neg_j, _ in negs], axis=0
             )
@@ -1033,19 +1029,36 @@ def _sgd_epoch_scan_grouped_body(
                 ],
                 axis=0,
             )
-            itf = params.item_factors.at[all_idx].add(lr * all_upd)
+            if item_scatter == "dense":
+                # segment-sum into a fresh zeroed accumulator + one dense
+                # add: the scatter RMW no longer targets the live factor
+                # table, so it stops serializing against the next step's
+                # factor gathers (in-scan A/B: ~10% faster than the
+                # sequential shape, benchmarks/bpr_dedup_scan_micro.py;
+                # the sort-based dedup variant LOSES — sorting + reorder
+                # costs more than the duplicate scatter traffic saves)
+                itf = params.item_factors + lr * jax.ops.segment_sum(
+                    all_upd, all_idx, num_segments=params.item_factors.shape[0]
+                )
+            else:
+                # ONE (1+num_neg)*B-row scatter-add for the whole
+                # item-side update. Scatter-add sums duplicates in
+                # unspecified order, so this is semantically identical to
+                # the sequential scatters; it trades num_neg+1 scatter
+                # dispatches for one wider one.
+                itf = params.item_factors.at[all_idx].add(lr * all_upd)
         else:
             itf = params.item_factors.at[p].add(lr * dp)
             # num_neg sequential B-row scatters (the known-stable shape; a
             # merged wide scatter previously kernel-faulted this runtime —
-            # see _sgd_update_body's NOTE; merge_item_scatters retests it)
+            # see _sgd_update_body's NOTE; item_scatter="merged" retests it)
             for e_j, (neg_j, qn_j) in zip(es, negs):
                 itf = itf.at[neg_j].add(
                     lr * (-e_j[:, None] * pu - item_lambda * qn_j * wcol)
                 )
         if use_biases:
             bp = params.item_biases[p]
-            if merge_item_scatters:
+            if item_scatter in ("merged", "dense"):
                 bidx = jnp.concatenate(
                     [p] + [neg_j for neg_j, _ in negs], axis=0
                 )
@@ -1058,7 +1071,12 @@ def _sgd_epoch_scan_grouped_body(
                     ],
                     axis=0,
                 )
-                ib = params.item_biases.at[bidx].add(lr * bupd)
+                if item_scatter == "dense":
+                    ib = params.item_biases + lr * jax.ops.segment_sum(
+                        bupd, bidx, num_segments=params.item_factors.shape[0]
+                    )
+                else:
+                    ib = params.item_biases.at[bidx].add(lr * bupd)
             else:
                 ib = params.item_biases.at[p].add(
                     lr * (e_sum - num_neg * bias_lambda * bp * w)
@@ -1076,7 +1094,7 @@ def _sgd_epoch_scan_grouped_body(
 
 _GROUPED_SCAN_STATICS = (
     "use_biases", "batch_size", "num_neg", "n_items", "n_rounds", "u_shift",
-    "merge_item_scatters", "sampler", "wpu",
+    "item_scatter", "sampler", "wpu",
 )
 _sgd_epoch_scan_grouped_impl = functools.partial(
     jax.jit,
@@ -1149,7 +1167,7 @@ def sgd_epoch_grouped(
     batch_size: int,
     collide_cap: int,
     pos_set: Optional[PosSet] = None,
-    merge_item_scatters: bool = False,
+    item_scatter: str = "seq",
     sampler: str = "rounds",
 ):
     """One grouped training epoch: presample+encode, then the grouped scan.
@@ -1207,7 +1225,7 @@ def sgd_epoch_grouped(
         n_items=n_items,
         n_rounds=neg_rounds,
         u_shift=u_shift,
-        merge_item_scatters=merge_item_scatters,
+        item_scatter=item_scatter,
         sampler="word" if use_word else "rounds",
         wpu=bitmap.words_per_user if use_word else 0,
     )

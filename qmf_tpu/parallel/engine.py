@@ -18,18 +18,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from qmf_tpu.config import WALSConfig
-from qmf_tpu.data.dataset import Dataset
-from qmf_tpu.data.factor_io import FactorData
-from qmf_tpu.data.id_index import IdIndex
 from qmf_tpu.models.wals import WALSEngine
-from qmf_tpu.ops.packing import (
-    chunks_for_classes,
-    pack_width_classes,
-    packed_stats,
-)
 from qmf_tpu.parallel.mesh import make_mesh
-from qmf_tpu.parallel.sharded_wals import ShardedBuckets, iterate_side_sharded
-from qmf_tpu.utils.logging import log
+from qmf_tpu.parallel.sharded_wals import iterate_side_sharded
 
 
 class _ShardedClassArrays:
@@ -140,110 +131,33 @@ class ShardedWALSEngine(WALSEngine):
             ],
         )
 
-    def init(self, dataset: Dataset) -> None:
-        if self.user_factors is not None or self.item_factors is not None:
-            raise RuntimeError("engine was already initialized with train data")
-        cfg = self.config
-        if cfg.solver not in (
-            "auto", "cholesky", "cholesky_matmul", "schur", "cholesky_xla",
-            "pallas", "fused", "lu",
-        ):
-            raise ValueError(f"unknown WALS solver {cfg.solver!r}")
-        self._solver = (
-            self._auto_solver() if cfg.solver == "auto" else cfg.solver
-        )
-        self.user_index = IdIndex.from_sorted_ids(dataset.user_ids)
-        self.item_index = IdIndex.from_sorted_ids(dataset.item_ids)
-        rows = self.user_index.lookup(dataset.user_ids)
-        cols = self.item_index.lookup(dataset.item_ids)
+    # init itself is inherited from WALSEngine — the pack/stats/chunks logic
+    # lives exactly once there; the three hooks below re-place its outputs
+    # over the mesh (the whole difference between the two engines).
 
-        import time as _time
-
-        t0 = _time.time()
+    def _row_multiple(self) -> int:
         # every scan chunk's row count divides the mesh so shards are even
-        row_multiple = 8 * self.mesh.size
-        deg_u = np.bincount(rows, minlength=self.nusers)
-        deg_i = np.bincount(cols, minlength=self.nitems)
-        h_user = self._resolve_hot_width(deg_i, int((deg_u > 0).sum()))
-        h_item = self._resolve_hot_width(deg_u, int((deg_i > 0).sum()))
-        if self._use_device_pack():
-            from qmf_tpu.ops import device_pack
+        return 8 * self.mesh.size
 
-            rows32 = jnp.asarray(rows.astype(np.int32))
-            cols32 = jnp.asarray(cols.astype(np.int32))
-            vals_d = jnp.asarray(dataset.values, dtype=self.dtype)
-            u_arrays, u_plans, user_hot = self._pack_side_device(
-                rows32, cols32, vals_d, rows, cols, self.nusers, self.nitems,
-                deg_u, deg_i, h_user, row_multiple=row_multiple,
-            )
-            i_arrays, i_plans, item_hot = self._pack_side_device(
-                cols32, rows32, vals_d, cols, rows, self.nitems, self.nusers,
-                deg_i, deg_u, h_item, row_multiple=row_multiple,
-            )
-            u_stats = device_pack.plan_stats(u_plans, len(dataset))
-            i_stats = device_pack.plan_stats(i_plans, len(dataset))
-            self._user_chunks = [p.chunk_b for p in u_plans]
-            self._item_chunks = [p.chunk_b for p in i_plans]
-        else:
-            user_classes, user_hot = self._pack_side_host(
-                rows, cols, dataset.values, self.nusers, self.nitems,
-                deg_u, deg_i, h_user, row_multiple=row_multiple,
-            )
-            item_classes, item_hot = self._pack_side_host(
-                cols, rows, dataset.values, self.nitems, self.nusers,
-                deg_i, deg_u, h_item, row_multiple=row_multiple,
-            )
-            u_stats = packed_stats(user_classes)
-            i_stats = packed_stats(item_classes)
-            u_arrays = [
-                (jnp.asarray(b.row_ids), jnp.asarray(b.col_idx),
-                 jnp.asarray(b.values, dtype=self.dtype),
-                 jnp.asarray(b.mask))
-                for b in user_classes
-            ]
-            i_arrays = [
-                (jnp.asarray(b.row_ids), jnp.asarray(b.col_idx),
-                 jnp.asarray(b.values, dtype=self.dtype),
-                 jnp.asarray(b.mask))
-                for b in item_classes
-            ]
-            self._user_chunks = chunks_for_classes(
-                user_classes, cfg.batch_rows, row_multiple=row_multiple
-            )
-            self._item_chunks = chunks_for_classes(
-                item_classes, cfg.batch_rows, row_multiple=row_multiple
-            )
-        u_sharded = self._shard_classes(u_arrays)
-        i_sharded = self._shard_classes(i_arrays)
-        self._user_buckets = _ShardedClassArrays(u_sharded)
-        self._item_buckets = _ShardedClassArrays(i_sharded)
-        self._user_hot = self._shard_hot(user_hot)
-        self._item_hot = self._shard_hot(item_hot)
-        log.info(
-            "sharded packing over %d devices: users %s, items %s "
-            "hot=(%d,%d) (%.2fs)",
-            self.mesh.size, u_stats, i_stats, h_user, h_item,
-            _time.time() - t0,
-        )
+    def _place_side(self, side: str, arrays, hot, chunks) -> None:
+        sharded = _ShardedClassArrays(self._shard_classes(arrays))
+        setattr(self, f"_{side}_buckets", sharded)
+        setattr(self, f"_{side}_chunks", chunks)
+        setattr(self, f"_{side}_hot", self._shard_hot(hot))
 
-        item_init = FactorData(self.nitems, cfg.nfactors)
-        if cfg.distribution_file:
-            item_init.set_factors_from_file(cfg.distribution_file)
-        else:
-            item_init.set_factors_uniform(
-                cfg.init_distribution_bound, np.random.default_rng(cfg.init_seed)
-            )
+    def _install_factors(self, item_factors_np: np.ndarray) -> None:
         # factors live row-sharded across the mesh between half-epochs (the
         # fixed side is all-gathered inside the solve program); sharded
         # layouts need mesh-divisible heights, so device factor matrices are
         # zero-padded and sliced back at the framework boundary (the base
         # engine slices [:nusers]/[:nitems] before eval/save).
+        cfg = self.config
         from qmf_tpu.parallel.sharded_wals import pad_rows
 
         self._pad_users = pad_rows(self.nusers, self.mesh)
         self._pad_items = pad_rows(self.nitems, self.mesh)
         item_f = np.zeros((self._pad_items, cfg.nfactors))
-        item_f[: self.nitems] = item_init.factors
+        item_f[: self.nitems] = item_factors_np
         row = NamedSharding(self.mesh, P(self.axis_name, None))
         self.item_factors = jax.device_put(
             jnp.asarray(item_f, dtype=self.dtype), row

@@ -182,7 +182,7 @@ class ShardedBPREngine(BPREngine):
                 n_items=self.nitems,
                 n_rounds=cfg.neg_resample_rounds,
                 u_shift=u_shift,
-                merge_item_scatters=cfg.merge_item_scatters,
+                item_scatter=cfg.item_scatter,
                 sampler="word" if use_word else "rounds",
                 wpu=member.words_per_user if use_word else 0,
             )

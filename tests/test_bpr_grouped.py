@@ -640,16 +640,18 @@ class TestMergedScatters:
         lam = jnp.float32(0.01)
         seq = bpr_ops._sgd_epoch_scan_grouped_body(
             params, enc, p, rk, lr, lam, lam, lam,
-            merge_item_scatters=False, **kw,
+            item_scatter="seq", **kw,
         )
-        mrg = bpr_ops._sgd_epoch_scan_grouped_body(
-            params, enc, p, rk, lr, lam, lam, lam,
-            merge_item_scatters=True, **kw,
-        )
-        for name in ("user_factors", "item_factors", "item_biases"):
-            np.testing.assert_allclose(
-                np.asarray(getattr(seq, name)),
-                np.asarray(getattr(mrg, name)),
-                rtol=2e-6,
-                atol=2e-7,
+        for variant in ("merged", "dense"):
+            out = bpr_ops._sgd_epoch_scan_grouped_body(
+                params, enc, p, rk, lr, lam, lam, lam,
+                item_scatter=variant, **kw,
             )
+            for name in ("user_factors", "item_factors", "item_biases"):
+                np.testing.assert_allclose(
+                    np.asarray(getattr(seq, name)),
+                    np.asarray(getattr(out, name)),
+                    rtol=2e-6,
+                    atol=2e-7,
+                    err_msg=f"item_scatter={variant} diverges on {name}",
+                )

@@ -617,6 +617,99 @@ class TestMultiProcessTraining:
             np.testing.assert_array_equal(ids_a, ids_b)
             np.testing.assert_array_equal(fa.factors, fb.factors)
 
+    def test_new_labor_absorbed_at_failure_retry(self, tmp_path, monkeypatch):
+        """VERDICT r4 item 6: the scheduler docstring's elasticity claim —
+        "new labors ARE absorbed at every failure retry" — exercised with a
+        labor that attaches only AFTER the first attempt started. The retry
+        must re-run the quorum over the enlarged labor set and include the
+        newcomer (reference analog: any-time kAttachLabor + stale-state
+        re-push, Connection.cpp:186-196,307-413).
+
+        Worker subprocesses are faked (the rendezvous itself is covered by
+        the real multi-process tests above): attempt 1's process-0 worker
+        blocks until the second labor is attached, then fails; attempt 2
+        succeeds immediately."""
+        import threading as _threading
+        import time
+
+        from qmf_tpu.distributed import scheduler as sched_mod
+
+        l2_attached = _threading.Event()
+        calls = {"p0": 0}
+
+        async def fake_rws(td, taskid, coordinator, num_processes,
+                           process_id, n_local_devices=0, timeout=3600.0,
+                           proc_holder=None, on_progress=None):
+            if process_id != 0:  # labor-side worker: succeed instantly
+                return {"taskid": taskid, "process_id": process_id}
+            calls["p0"] += 1
+            if calls["p0"] == 1:
+                while not l2_attached.is_set():
+                    await asyncio.sleep(0.05)
+                raise RuntimeError("injected attempt-1 failure")
+            return {
+                "taskid": taskid,
+                "process_id": 0,
+                "num_processes": num_processes,
+            }
+
+        monkeypatch.setattr(sched_mod, "run_worker_subprocess", fake_rws)
+
+        fx = SchedulerFixture(multiproc=True, prepare_timeout=15.0)
+        labor1 = Labor("127.0.0.1", fx.port)
+        fut1 = fx.run_coro(labor1.run())
+        fut2 = None
+        try:
+            for _ in range(100):
+                if len(fx.scheduler.labors) == 1:
+                    break
+                time.sleep(0.05)
+            assert len(fx.scheduler.labors) == 1
+
+            task_file = tmp_path / "task.pb"
+            task_file.write_text(
+                'nepochs : 1\ntrain_set : "t.txt"\n'
+                'user_factors : "%s"\nitem_factors : "%s"\n'
+                % (tmp_path / "u.dat", tmp_path / "i.dat")
+            )
+            rsp = submit_task_file("127.0.0.1", fx.port, str(task_file))
+            assert rsp["status"] == "OK"
+
+            # wait until attempt 1 is in flight, THEN attach the new labor
+            for _ in range(200):
+                if calls["p0"] >= 1:
+                    break
+                time.sleep(0.05)
+            assert calls["p0"] == 1, "attempt 1 never started"
+            labor2 = Labor("127.0.0.1", fx.port)
+            fut2 = fx.run_coro(labor2.run())
+            for _ in range(100):
+                if len(fx.scheduler.labors) == 2:
+                    break
+                time.sleep(0.05)
+            assert len(fx.scheduler.labors) == 2
+            l2_attached.set()  # release attempt 1 into its injected failure
+
+            for _ in range(600):
+                status = scheduler_status("127.0.0.1", fx.port)
+                if status["history"] and status["history"][-1]["state"] in (
+                    "done",
+                    "failed",
+                ):
+                    break
+                time.sleep(0.05)
+            last = status["history"][-1]
+            assert last["state"] == "done", last
+            # the retry absorbed the newcomer: 2 labors + process 0
+            assert last["result"]["attempts"] == 2, last["result"]
+            assert len(last["result"]["labors"]) == 2, last["result"]
+            assert last["result"]["num_processes"] == 3, last["result"]
+        finally:
+            fut1.cancel()
+            if fut2 is not None:
+                fut2.cancel()
+            fx.close()
+
     def test_quorum_miss_falls_back_to_local(self, tmp_path):
         """No labors ready within the prepare window -> the task still runs
         (single-process), mirroring the reference's tolerance of a shrunken
