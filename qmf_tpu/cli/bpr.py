@@ -100,6 +100,13 @@ def make_flags() -> Flags:
         "devices to data-parallel-shard the minibatch over: 1 = single-chip "
         "engine, 0 = ALL visible devices, N>1 = first N",
     )
+    fl.define_string(
+        "item_scatter",
+        "seq",
+        "grouped-scan item-update strategy: seq (sequential scatter-adds) "
+        "| merged (one wide scatter) | dense (segment-sum accumulator); "
+        "semantically identical, see benchmarks/README.md",
+    )
     return fl
 
 
@@ -133,6 +140,7 @@ def main(argv=None) -> int:
         neg_resample_rounds=fl.neg_resample_rounds,
         neg_sampler=fl.neg_sampler,
         init_seed=fl.init_seed,
+        item_scatter=fl.item_scatter,
     )
     metrics_config = MetricsConfig(
         num_test_users=fl.num_test_users,

@@ -1073,7 +1073,7 @@ def _sgd_epoch_scan_grouped_body(
                 )
                 if item_scatter == "dense":
                     ib = params.item_biases + lr * jax.ops.segment_sum(
-                        bupd, bidx, num_segments=params.item_factors.shape[0]
+                        bupd, bidx, num_segments=params.item_biases.shape[0]
                     )
                 else:
                     ib = params.item_biases.at[bidx].add(lr * bupd)
