@@ -80,9 +80,14 @@ def _measure_bpr(ds, n):
     from qmf_tpu.config import BPRConfig
     from qmf_tpu.parallel import ShardedBPREngine
 
+    k = min(NFACTORS, 30)  # BPR headline config is k=30 (BASELINE.md #3)
+    if k != NFACTORS:
+        print(f"n={n}: NOTE nfactors capped {NFACTORS} -> {k} for the BPR "
+              "engine (set QMF_SHARDED_NFACTORS <= 30 to silence)",
+              flush=True)
     cfg = BPRConfig(
         nepochs=1,
-        nfactors=min(NFACTORS, 30),
+        nfactors=k,
         batch_size=4096 * n,
         init_seed=0,
     )

@@ -112,7 +112,13 @@ class Labor:
                 and self._worker_task is not None
                 and not self._worker_task.done()
             ):
-                holder = self._worker_holder or {}
+                # the holder is created in the task_start dispatch (before
+                # _run_worker first runs), so an abort that arrives in the
+                # same socket-buffer batch as task_start still arms the
+                # deferred kill on the dict _run_worker will actually read
+                holder = self._worker_holder
+                if holder is None:
+                    return None  # _run_worker already finished and cleared it
                 proc = holder.get("proc")
                 if proc is not None and proc.returncode is None:
                     log.warning(
@@ -143,6 +149,11 @@ class Labor:
                 msg.get("num_processes", 1),
                 msg.get("process_id", -1),
             )
+            # create the subprocess holder HERE so a task_abort dispatched
+            # from the same buffered read batch (before the _run_worker
+            # coroutine gets scheduled) arms its deferred-kill flag on the
+            # dict the worker path will see
+            self._worker_holder = {}
             # run in the background so heartbeats stay answered
             self._worker_task = asyncio.ensure_future(self._run_worker(msg))
             return None
@@ -182,8 +193,11 @@ class Labor:
         from qmf_tpu.distributed.taskdef import TaskDef
 
         taskid = msg.get("taskid", 0)
-        holder: Dict[str, Any] = {}
-        self._worker_holder = holder
+        # created by the task_start dispatch; fall back for direct callers
+        # (tests) that invoke _run_worker without going through _dispatch
+        if self._worker_holder is None:
+            self._worker_holder = {}
+        holder: Dict[str, Any] = self._worker_holder
 
         def _spawned():
             self.worker_pid = holder.get("pid")

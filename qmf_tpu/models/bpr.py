@@ -106,6 +106,10 @@ class BPREngine(Engine):
         cfg = self.config
         if cfg.neg_sampler not in ("word", "rounds"):
             raise ValueError(f"unknown BPR neg_sampler {cfg.neg_sampler!r}")
+        if cfg.item_scatter not in ("seq", "merged", "dense"):
+            # reject typos up front: the scan body treats any unknown value
+            # as "seq", which would silently mis-label an A/B measurement
+            raise ValueError(f"unknown BPR item_scatter {cfg.item_scatter!r}")
         stages = self._init_stages = {}  # stage -> seconds (observability)
         t_stage = time.time()
 

@@ -33,7 +33,6 @@ from qmf_tpu.models.engine import Engine
 from qmf_tpu.ops import als_ops
 from qmf_tpu.ops import hot as hot_ops
 from qmf_tpu.ops.packing import (
-    Bucket,
     chunks_for_classes,
     pack_width_classes,
     packed_stats,
@@ -49,15 +48,6 @@ class DeviceBuckets:
     col_idx: List[jax.Array]
     values: List[jax.Array]
     mask: List[jax.Array]
-
-    @classmethod
-    def from_host(cls, buckets: List[Bucket], dtype) -> "DeviceBuckets":
-        return cls(
-            row_ids=[jnp.asarray(b.row_ids) for b in buckets],
-            col_idx=[jnp.asarray(b.col_idx) for b in buckets],
-            values=[jnp.asarray(b.values, dtype=dtype) for b in buckets],
-            mask=[jnp.asarray(b.mask) for b in buckets],
-        )
 
     def __len__(self) -> int:
         return len(self.row_ids)
@@ -325,17 +315,17 @@ class WALSEngine(Engine):
             )
             u_stats = packed_stats(user_classes)
             i_stats = packed_stats(item_classes)
-            db_u = DeviceBuckets.from_host(user_classes, self.dtype)
-            db_i = DeviceBuckets.from_host(item_classes, self.dtype)
             u_arrays = [
-                (db_u.row_ids[i], db_u.col_idx[i], db_u.values[i],
-                 db_u.mask[i])
-                for i in range(len(db_u))
+                (jnp.asarray(b.row_ids), jnp.asarray(b.col_idx),
+                 jnp.asarray(b.values, dtype=self.dtype),
+                 jnp.asarray(b.mask))
+                for b in user_classes
             ]
             i_arrays = [
-                (db_i.row_ids[i], db_i.col_idx[i], db_i.values[i],
-                 db_i.mask[i])
-                for i in range(len(db_i))
+                (jnp.asarray(b.row_ids), jnp.asarray(b.col_idx),
+                 jnp.asarray(b.values, dtype=self.dtype),
+                 jnp.asarray(b.mask))
+                for b in item_classes
             ]
             u_chunks = chunks_for_classes(
                 user_classes, cfg.batch_rows, row_multiple=row_multiple
