@@ -40,11 +40,39 @@ class IdIndex:
         return cls(np.unique(np.asarray(raw_ids, dtype=np.int64)))
 
     @classmethod
+    def from_sorted_ids_with_lookup(cls, raw_ids: np.ndarray):
+        """(index, indices-of-raw_ids) in one pass.
+
+        The ``return_inverse`` of the same np.unique sort IS the lookup of
+        the input ids, so engine inits over tens of millions of ratings
+        skip the separate 20M-row searchsorted pass (BPR init stage
+        attribution, benchmarks/README.md)."""
+        raw_ids = np.asarray(raw_ids, dtype=np.int64)
+        uniq, inverse = np.unique(raw_ids, return_inverse=True)
+        return cls(uniq), inverse.astype(np.int64)
+
+    @classmethod
     def from_first_occurrence(cls, raw_ids: np.ndarray) -> "IdIndex":
         """Index order = order of first appearance (BPR getOrSetIdx order)."""
         raw_ids = np.asarray(raw_ids, dtype=np.int64)
         _, first_pos = np.unique(raw_ids, return_index=True)
         return cls(raw_ids[np.sort(first_pos)])
+
+    @classmethod
+    def from_first_occurrence_with_lookup(cls, raw_ids: np.ndarray):
+        """(index, indices-of-raw_ids) in one pass (see
+        :meth:`from_sorted_ids_with_lookup`); index order = first
+        appearance."""
+        raw_ids = np.asarray(raw_ids, dtype=np.int64)
+        uniq, first_pos, inverse = np.unique(
+            raw_ids, return_index=True, return_inverse=True
+        )
+        # rank sorted-unique slots by first appearance: rank[j] = the
+        # first-occurrence index of sorted-unique id j
+        order = np.argsort(first_pos, kind="stable")
+        rank = np.empty(len(uniq), dtype=np.int64)
+        rank[order] = np.arange(len(uniq), dtype=np.int64)
+        return cls(raw_ids[np.sort(first_pos)]), rank[inverse]
 
     # --- queries ----------------------------------------------------------
     def __len__(self) -> int:

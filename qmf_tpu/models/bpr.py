@@ -118,14 +118,19 @@ class BPREngine(Engine):
             stages[name] = round(time.time() - t_stage, 3)
             t_stage = time.time()
 
-        # positives: value >= 1.0, ids indexed in first-appearance order
+        # positives: value >= 1.0, ids indexed in first-appearance order;
+        # index + full-stream lookup come from ONE unique pass per side
         keep = dataset.values >= 1.0
         users_raw = dataset.user_ids[keep]
         items_raw = dataset.item_ids[keep]
-        self.user_index = IdIndex.from_first_occurrence(users_raw)
-        self.item_index = IdIndex.from_first_occurrence(items_raw)
-        self._data_users = self.user_index.lookup(users_raw).astype(np.int32)
-        self._data_items = self.item_index.lookup(items_raw).astype(np.int32)
+        self.user_index, u_idx = IdIndex.from_first_occurrence_with_lookup(
+            users_raw
+        )
+        self.item_index, i_idx = IdIndex.from_first_occurrence_with_lookup(
+            items_raw
+        )
+        self._data_users = u_idx.astype(np.int32)
+        self._data_items = i_idx.astype(np.int32)
         _mark("index")
 
         self._pos_set = bpr_ops.make_pos_set(

@@ -274,10 +274,14 @@ class WALSEngine(Engine):
         self._solver = (
             self._auto_solver() if cfg.solver == "auto" else cfg.solver
         )
-        self.user_index = IdIndex.from_sorted_ids(dataset.user_ids)
-        self.item_index = IdIndex.from_sorted_ids(dataset.item_ids)
-        rows = self.user_index.lookup(dataset.user_ids)
-        cols = self.item_index.lookup(dataset.item_ids)
+        # index + full-stream lookup from ONE unique pass per side (the
+        # inverse of the sorted-unique IS the lookup)
+        self.user_index, rows = IdIndex.from_sorted_ids_with_lookup(
+            dataset.user_ids
+        )
+        self.item_index, cols = IdIndex.from_sorted_ids_with_lookup(
+            dataset.item_ids
+        )
 
         t0 = time.time()
         row_multiple = self._row_multiple()

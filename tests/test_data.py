@@ -102,6 +102,20 @@ class TestIdIndex:
         assert idx.size == 0
         np.testing.assert_array_equal(idx.lookup(np.array([5])), [MISSING_IDX])
 
+    def test_with_lookup_constructors_match_two_pass(self):
+        """The fused build (index + inverse from one np.unique pass) must be
+        exactly the two-pass construct-then-lookup for both orderings."""
+        rng = np.random.default_rng(7)
+        raw = rng.integers(0, 500, 20000).astype(np.int64)
+        a = IdIndex.from_first_occurrence(raw)
+        b, idx = IdIndex.from_first_occurrence_with_lookup(raw)
+        np.testing.assert_array_equal(a.ids, b.ids)
+        np.testing.assert_array_equal(a.lookup(raw), idx)
+        c = IdIndex.from_sorted_ids(raw)
+        d, idx2 = IdIndex.from_sorted_ids_with_lookup(raw)
+        np.testing.assert_array_equal(c.ids, d.ids)
+        np.testing.assert_array_equal(c.lookup(raw), idx2)
+
 
 class TestFactorData:
     def test_save_format_golden(self, tmp_path):
