@@ -133,8 +133,10 @@ class BPREngine(Engine):
         self._data_items = i_idx.astype(np.int32)
         _mark("index")
 
-        self._pos_set = bpr_ops.make_pos_set(
-            self._data_users, self._data_items, self.nusers
+        # one 20M-row lexsort feeds BOTH the CSR set and the bitmap build
+        self._pos_set, sorted_u, sorted_i = bpr_ops.make_pos_set(
+            self._data_users, self._data_items, self.nusers,
+            return_sorted=True,
         )
         _mark("pos_set")
         # O(1) membership bitmap for the hot sampler when the id space
@@ -151,7 +153,8 @@ class BPREngine(Engine):
         self._pos_bloom = None
         if bitmap_feasible and bitmap_bytes <= cfg.bitmap_budget_mb * (1 << 20):
             self._pos_bitmap = bpr_ops.make_pos_bitmap(
-                self._data_users, self._data_items, self.nusers, self.nitems
+                sorted_u, sorted_i, self.nusers, self.nitems,
+                assume_lex_sorted=True,
             )
         else:
             self._pos_bitmap = None

@@ -58,9 +58,16 @@ class PosSet(NamedTuple):
 
 
 def make_pos_set(
-    user_idx: np.ndarray, item_idx: np.ndarray, n_users: int
-) -> PosSet:
-    """Build the CSR positive-set structure (host side, deduplicated)."""
+    user_idx: np.ndarray, item_idx: np.ndarray, n_users: int,
+    return_sorted: bool = False,
+):
+    """Build the CSR positive-set structure (host side, deduplicated).
+
+    With ``return_sorted`` also returns the lexsorted deduplicated
+    (user, item) host arrays — they are exactly the order the bitmap/word
+    builders need, so callers building both structures pay for ONE 20M-row
+    lexsort instead of two (BPR init stage attribution,
+    benchmarks/README.md)."""
     order = np.lexsort((item_idx, user_idx))
     u = np.asarray(user_idx)[order]
     i = np.asarray(item_idx)[order]
@@ -73,9 +80,12 @@ def make_pos_set(
     indptr = np.zeros(n_users + 1, dtype=np.int32)
     np.cumsum(counts, out=indptr[1:])
     max_degree = int(counts.max()) if n_users else 0
-    return PosSet(
+    ps = PosSet(
         jnp.asarray(indptr), jnp.asarray(i.astype(np.int32)), max_degree
     )
+    if return_sorted:
+        return ps, u, i
+    return ps
 
 
 class PosBitmap(NamedTuple):
@@ -95,9 +105,15 @@ class PosBitmap(NamedTuple):
 
 
 def make_pos_bitmap(
-    user_idx: np.ndarray, item_idx: np.ndarray, n_users: int, n_items: int
+    user_idx: np.ndarray, item_idx: np.ndarray, n_users: int, n_items: int,
+    assume_lex_sorted: bool = False,
 ) -> PosBitmap:
-    """Build the packed membership bitmap (host side, vectorized)."""
+    """Build the packed membership bitmap (host side, vectorized).
+
+    ``assume_lex_sorted``: the inputs are already lexsorted by
+    (user, item) — e.g. :func:`make_pos_set`'s ``return_sorted`` output —
+    so ``word_idx = u*wpu + (i>>5)`` is nondecreasing and the 20M-row
+    argsort is skipped."""
     wpu = (n_items + 31) // 32
     # _is_member_bitmap computes u * wpu + (i >> 5) in int32; guard the
     # word count so a raised bitmap budget cannot silently wrap the index.
@@ -110,8 +126,9 @@ def make_pos_bitmap(
     i = np.asarray(item_idx, dtype=np.int64)
     word_idx = u * wpu + (i >> 5)
     bit = np.uint32(1) << (i & 31).astype(np.uint32)
-    order = np.argsort(word_idx, kind="stable")
-    word_idx, bit = word_idx[order], bit[order]
+    if not assume_lex_sorted:
+        order = np.argsort(word_idx, kind="stable")
+        word_idx, bit = word_idx[order], bit[order]
     # OR together all bits landing in the same word (segment reduce)
     starts = np.concatenate(
         [[0], np.nonzero(np.diff(word_idx))[0] + 1]

@@ -61,6 +61,30 @@ def _brute_rounds(rk, users, pos_sets, n_items, n_rounds):
     return out
 
 
+class TestSharedSortBitmap:
+    def test_presorted_bitmap_equals_raw_build(self):
+        """The bitmap built from make_pos_set's lexsorted/deduped output
+        (assume_lex_sorted=True, the engine-init fast path) must be
+        word-identical to a build from the raw unsorted pairs."""
+        rng = np.random.default_rng(5)
+        n_users, n_items = 40, 100
+        u_idx = rng.integers(0, n_users, 3000).astype(np.int32)
+        i_idx = rng.integers(0, n_items, 3000).astype(np.int32)
+        raw = bpr_ops.make_pos_bitmap(u_idx, i_idx, n_users, n_items)
+        ps, su, si = bpr_ops.make_pos_set(
+            u_idx, i_idx, n_users, return_sorted=True
+        )
+        fast = bpr_ops.make_pos_bitmap(
+            su, si, n_users, n_items, assume_lex_sorted=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(raw.words), np.asarray(fast.words)
+        )
+        assert raw.words_per_user == fast.words_per_user
+        # and the sorted output matches the CSR contents
+        assert len(si) == int(ps.indptr[-1])
+
+
 class TestSampleRounds:
     def test_matches_bruteforce(self):
         rng = np.random.default_rng(0)
