@@ -337,3 +337,12 @@ class TestBPROptimize:
         )
         # 8 rounds on a ~50%-dense matrix: residual collisions ~0.4%
         assert hits <= 5, hits
+
+
+class TestConfigValidation:
+    def test_unknown_item_scatter_rejected(self):
+        """Typos must not silently run the sequential path and mis-label
+        an A/B measurement (round-5 review finding)."""
+        eng = BPREngine(BPRConfig(nepochs=1, nfactors=4, item_scatter="Dense"))
+        with pytest.raises(ValueError, match="item_scatter"):
+            eng.init(_toy_dataset())

@@ -293,6 +293,38 @@ class TestControlPlane:
         rsp = aio.run(sched._dispatch({"kind": "heartbeat"}, "p:1", None))
         assert rsp["epoch"] == 5
 
+    def test_abort_racing_task_start_arms_deferred_kill(self):
+        """A task_abort dispatched from the same buffered read batch as
+        task_start (before the worker coroutine ever runs) must arm the
+        deferred-kill flag on the holder the worker path reads — not on a
+        throwaway dict (round-5 review finding)."""
+        import asyncio as aio
+
+        async def scenario():
+            labor = Labor("127.0.0.1", 0)
+            # same-batch dispatches with NO await in between
+            labor._dispatch(
+                {
+                    "kind": "task_start",
+                    "taskid": 5,
+                    "task": {},
+                    "coordinator": "127.0.0.1:1",
+                    "num_processes": 2,
+                    "process_id": 1,
+                }
+            )
+            assert labor._worker_holder is not None
+            labor._dispatch({"kind": "task_abort", "taskid": 5})
+            armed = labor._worker_holder.get("aborted")
+            labor._worker_task.cancel()
+            try:
+                await labor._worker_task
+            except (aio.CancelledError, Exception):  # noqa: BLE001
+                pass
+            return armed
+
+        assert aio.run(scenario()) is True
+
     def test_labor_detach_is_noticed(self):
         fx = SchedulerFixture(runner=_fake_runner([]))
         labor = Labor("127.0.0.1", fx.port)
