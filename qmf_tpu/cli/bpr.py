@@ -114,6 +114,13 @@ def main(argv=None) -> int:
     fl = make_flags()
     fl.parse(argv)
     configure_platform()
+    if fl.dtype == "float64":
+        # f64 golden mode needs x64 or jnp silently downgrades every array
+        # to f32 (CPU-only: TPUs have no f64 linear algebra). Mirrors the
+        # distributed worker (worker.py run_worker).
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     enable_compilation_cache()
 
     if not fl.user_factors or not fl.item_factors:
