@@ -60,7 +60,16 @@ async def read_frame(reader: asyncio.StreamReader) -> Optional[Dict[str, Any]]:
     except (asyncio.IncompleteReadError, ConnectionResetError):
         return None
     length = _decode_head(head)
-    payload = await reader.readexactly(length)
+    try:
+        payload = await reader.readexactly(length)
+    except asyncio.IncompleteReadError as e:
+        # mid-payload EOF is an abnormal drop, not a clean shutdown; raise
+        # a ConnectionError (IncompleteReadError is an EOFError, which the
+        # daemons' reconnect/drop handlers do NOT catch — an unwrapped one
+        # would exit the labor CLI instead of triggering its backoff loop)
+        raise ConnectionError(
+            f"connection dropped mid-frame ({len(e.partial)}/{length} bytes)"
+        ) from e
     return json.loads(payload.decode())
 
 

@@ -294,9 +294,7 @@ class Scheduler:
                 if self.multiproc and self.labors and self._runner is run_task:
                     result = await self._run_multiproc(td, item["taskid"])
                 else:
-                    result = await asyncio.to_thread(
-                        self._runner, td, item["taskid"]
-                    )
+                    result = await self._run_local(td, item["taskid"])
                 item["state"] = "done"
                 item["result"] = result
             except Exception as e:  # task failures must not kill the daemon
@@ -325,9 +323,24 @@ class Scheduler:
             except (ConnectionError, RuntimeError):
                 dead.append(peer)
         for peer in dead:
-            self.labors.pop(peer, None)
-            self._notice_labor_loss(peer)
+            self._drop_labor(peer)
         return sent
+
+    def _drop_labor(self, peer: str) -> None:
+        """Remove a labor AND close its connection: closing the socket makes
+        the labor's read loop return EOF so its CLI reconnect-with-backoff
+        kicks in — without the close a slow-but-alive labor would keep its
+        healthy TCP connection, think it is still attached, and become a
+        permanent zombie the scheduler never uses again."""
+        li = self.labors.pop(peer, None)
+        if li is None:
+            return
+        if li.writer is not None:
+            try:
+                li.writer.close()
+            except RuntimeError:
+                pass
+        self._notice_labor_loss(peer)
 
     def _current_epoch(self) -> int:
         """Epoch the running task has reached (max over worker progress
@@ -350,6 +363,34 @@ class Scheduler:
                 "loss": prog.get("loss"),
                 "wall_s": prog.get("wall_s"),
             }
+
+    async def _run_local(self, td: TaskDef, taskid: int) -> Dict[str, Any]:
+        """Single-process task execution. With the real runner this spawns a
+        fresh worker SUBPROCESS (num_processes=1): the long-lived daemon
+        must never initialize the accelerator in-process — libtpu holds the
+        chips exclusively for the process lifetime, which would permanently
+        starve every later multi-process attempt's process-0 worker of the
+        device. Injected runners (tests) still run in-thread."""
+        if self._runner is run_task:
+            result = await run_worker_subprocess(
+                td,
+                taskid=taskid,
+                coordinator="",
+                num_processes=1,
+                process_id=0,
+                n_local_devices=self.n_local_devices,
+                timeout=self.worker_timeout,
+                on_progress=lambda p: self._record_progress("scheduler", p),
+            )
+            # success: the per-epoch recovery state is obsolete (run_task
+            # cleans up after itself; the subprocess path must too)
+            import shutil
+
+            from qmf_tpu.distributed.worker import default_ckpt_dir
+
+            shutil.rmtree(default_ckpt_dir(td, taskid), ignore_errors=True)
+            return result
+        return await asyncio.to_thread(self._runner, td, taskid)
 
     async def _run_multiproc(self, td: TaskDef, taskid: int) -> Dict[str, Any]:
         """Fault-tolerant multi-process training: run attempts until one
@@ -434,7 +475,7 @@ class Scheduler:
                 n_labors,
                 quorum,
             )
-            return await asyncio.to_thread(self._runner, td, taskid)
+            return await self._run_local(td, taskid)
 
         # pick a coordinator port (process 0 = this host's worker)
         with _socket.socket() as s:
@@ -494,6 +535,11 @@ class Scheduler:
                 proc = holder.get("proc")
                 if proc is not None and proc.returncode is None:
                     proc.kill()
+                else:
+                    # fail event raced the subprocess spawn: arm the
+                    # deferred kill run_worker_subprocess executes as soon
+                    # as 'proc' exists (same race the labor side closes)
+                    holder["aborted"] = True
                 await self._broadcast(
                     {"kind": "task_abort", "taskid": taskid},
                     peers=self._active_peers & set(self.labors),
@@ -522,28 +568,28 @@ class Scheduler:
 
     async def _announce_task(self, item: Dict[str, Any]) -> None:
         """Tell attached labors which task is active (kPushRate-era sync,
-        control part only — the data rides the accelerator interconnect)."""
-        dead = []
-        for peer, li in self.labors.items():
-            try:
-                await protocol.write_frame(
-                    li.writer,
-                    {
-                        "kind": "task_announce",
-                        "taskid": item["taskid"],
-                        "task": item["task"],
-                    },
-                )
-            except (ConnectionError, RuntimeError):
-                dead.append(peer)
-        for peer in dead:
-            del self.labors[peer]
+        control part only — the data rides the accelerator interconnect).
+        Delegates to _broadcast, which snapshots the labor set first — a
+        labor attaching/detaching while a write awaits must not blow up the
+        task-runner loop with a dict-mutation RuntimeError."""
+        await self._broadcast(
+            {
+                "kind": "task_announce",
+                "taskid": item["taskid"],
+                "task": item["task"],
+            }
+        )
 
     async def _heartbeat_loop(self) -> None:
         while True:
             await asyncio.sleep(min(self._hb_interval / 3, 1.0))
             dead = []
-            for peer, li in self.labors.items():
+            # snapshot: the probe write awaits, during which labors may
+            # attach/detach — iterating the live dict would raise and
+            # silently kill this loop (disabling failure detection forever)
+            for peer, li in list(self.labors.items()):
+                if peer not in self.labors:
+                    continue  # detached while an earlier probe awaited
                 if li.probe_sent is not None:
                     # probed and still silent: one interval to reply, then drop
                     # (a hung-but-connected labor must not be re-touched,
@@ -560,8 +606,7 @@ class Scheduler:
                         dead.append(peer)
             for peer in dead:
                 log.warning("labor %s dead, dropping", peer)
-                del self.labors[peer]
-                self._notice_labor_loss(peer)
+                self._drop_labor(peer)
 
 
 async def run_worker_subprocess(
@@ -626,6 +671,11 @@ async def run_worker_subprocess(
     if proc_holder is not None:
         proc_holder["proc"] = proc
         proc_holder["pid"] = proc.pid
+        if proc_holder.get("aborted"):
+            # an abort signal raced the spawn (the caller saw no 'proc' to
+            # kill and armed this flag instead — both the scheduler's
+            # fail-event path and the labor's task_abort use it)
+            proc.kill()
 
     async def _tail_progress():
         last = None
@@ -652,6 +702,14 @@ async def run_worker_subprocess(
     except asyncio.TimeoutError:
         proc.kill()
         raise RuntimeError(f"worker process {process_id} timed out")
+    except asyncio.CancelledError:
+        # the awaiting task was cancelled (labor connection closed,
+        # scheduler shutdown): the subprocess must die with it, or a live
+        # training process keeps the accelerator wedged on dead collectives
+        # until its own timeout wall
+        if proc.returncode is None:
+            proc.kill()
+        raise
     finally:
         if poller is not None:
             poller.cancel()

@@ -103,7 +103,14 @@ def parse_taskdef(text: str) -> TaskDef:
                 raise ValueError(
                     f"task file line {lineno}: unterminated string {raw!r}"
                 )
-            parsed: Any = value[1:-1]
+            # unescape what _strip_comment's string scanner accepts:
+            # \" \' and \\ (TextFormat escape subset used by task files)
+            parsed: Any = (
+                value[1:-1]
+                .replace("\\\\", "\x00")
+                .replace("\\" + quote, quote)
+                .replace("\x00", "\\")
+            )
         elif types[name] in ("int", int):
             parsed = int(value)
         elif types[name] in ("float", float):

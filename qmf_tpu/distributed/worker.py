@@ -157,24 +157,21 @@ def run_worker(
     wall = time.time() - t0
 
     # Replicate the final factors across processes (all processes must
-    # execute this collective), then only process 0 touches the filesystem —
-    # the analog of the reference scheduler gathering kCalcRsp rows before
-    # saveFactors (RunOneTask.cpp:153-155).
+    # execute this collective — engine._checkpoint_arrays is the same
+    # gather the per-epoch checkpoints use), then only process 0 touches
+    # the filesystem — the analog of the reference scheduler gathering
+    # kCalcRsp rows before saveFactors (RunOneTask.cpp:153-155).
     import numpy as np
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    rep = jax.jit(
-        lambda u, v: (u, v),
-        out_shardings=NamedSharding(mesh, P()),
-    )(engine.user_factors, engine.item_factors)
+    arrays = engine._checkpoint_arrays()
     if jax.process_index() == 0:
         engine.save_factor_data(
-            np.asarray(rep[0], dtype=np.float64)[: engine.nusers],
+            np.asarray(arrays["user_factors"], dtype=np.float64),
             engine.user_index,
             td.user_factors,
         )
         engine.save_factor_data(
-            np.asarray(rep[1], dtype=np.float64)[: engine.nitems],
+            np.asarray(arrays["item_factors"], dtype=np.float64),
             engine.item_index,
             td.item_factors,
         )

@@ -63,6 +63,17 @@ class TestTaskDef:
         assert td.train_set == "data#1.csv"
         assert td.user_factors == "u#f.dat"
 
+    def test_escaped_quotes_and_backslashes_unescaped(self):
+        # _strip_comment accepts \" inside strings; the parsed value must
+        # have the escapes RESOLVED, not retain the backslash
+        td = parse_taskdef(
+            'train_set : "data\\"1.csv"\n'
+            'user_factors : "dir\\\\u.dat"\n'
+            'item_factors : "c"\n'
+        )
+        assert td.train_set == 'data"1.csv'
+        assert td.user_factors == "dir\\u.dat"
+
 
 class TestProtocol:
     def test_frame_roundtrip(self):
