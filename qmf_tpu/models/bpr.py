@@ -224,7 +224,11 @@ class BPREngine(Engine):
             # (ml100k: ~8%) need a far larger buffer than sparse ones
             # (ml20m: ~0.7%); 3x headroom keeps overflows rare without a
             # config change per dataset. collide_cap_frac stays the floor.
-            degs = np.bincount(self._data_users, minlength=self.nusers)
+            # Degrees come from the CSR indptr already built above — the
+            # DEDUPLICATED counts (collisions are tested against the dedup
+            # set, so raw multiplicities would overestimate p), and no
+            # second full-stream bincount pass.
+            degs = np.diff(np.asarray(self._pos_set.indptr))
             p_est = float((degs.astype(np.float64) ** 2).sum()) / (
                 max(1, n_pos) * max(1, self.nitems)
             )
@@ -339,13 +343,7 @@ class BPREngine(Engine):
         ev_p = jnp.repeat(jnp.asarray(t_items), self.eval_num_neg)
         if len(t_users):
             test_pos_set = bpr_ops.make_pos_set(t_users, t_items, self.nusers)
-            ev_n = bpr_ops.sample_negatives(
-                jax.random.PRNGKey(self.eval_seed),
-                ev_u,
-                test_pos_set,
-                self.nitems,
-                rounds=16,
-            )
+            ev_n = self._sample_eval_negatives(ev_u, pos_set=test_pos_set)
         else:
             ev_n = jnp.zeros(0, dtype=jnp.int32)
         self._test_eval_set = (ev_u, ev_p, ev_n)
@@ -359,25 +357,35 @@ class BPREngine(Engine):
                 self.metrics_engine.config.seed,
             )
 
-    def _sample_eval_negatives(self, ev_u):
-        """Rejection-sample eval negatives (seeded, fixed for all epochs)."""
+    def _sample_eval_negatives(self, ev_u, pos_set=None):
+        """Rejection-sample eval negatives (seeded, fixed for all epochs).
+
+        ``pos_set``: reject against this CSR set instead of the train set
+        (init_test passes the TEST positive map, reference
+        useTestItemMap=true). The O(1) bitmap shortcut only applies to the
+        train set; every CSR path is chunked into bounded dispatches — the
+        16-round CSR program kernel-faults this runtime when dispatched
+        over tens of millions of rows in one piece (see _post_stream_init's
+        NOTE)."""
         key = jax.random.PRNGKey(self.eval_seed)
-        if self._pos_bitmap is not None:
-            return bpr_ops.sample_negatives(
-                key, ev_u, self._pos_set, self.nitems, rounds=16,
-                bitmap=self._pos_bitmap,
-            )
+        if pos_set is None:
+            pos_set = self._pos_set
+            if self._pos_bitmap is not None:
+                return bpr_ops.sample_negatives(
+                    key, ev_u, pos_set, self.nitems, rounds=16,
+                    bitmap=self._pos_bitmap,
+                )
         chunk = 4_000_000
         if ev_u.shape[0] <= chunk:
             return bpr_ops.sample_negatives(
-                key, ev_u, self._pos_set, self.nitems, rounds=16
+                key, ev_u, pos_set, self.nitems, rounds=16
             )
         outs = []
         for start in range(0, ev_u.shape[0], chunk):
             key, sub = jax.random.split(key)
             outs.append(
                 bpr_ops.sample_negatives(
-                    sub, ev_u[start:start + chunk], self._pos_set,
+                    sub, ev_u[start:start + chunk], pos_set,
                     self.nitems, rounds=16,
                 )
             )

@@ -271,6 +271,14 @@ class WALSEngine(Engine):
             "pallas", "fused", "lu",
         ):
             raise ValueError(f"unknown WALS solver {cfg.solver!r}")
+        if cfg.matmul_precision not in ("highest", "default"):
+            # als_ops silently falls back to HIGHEST for unknown names and
+            # every `== "default"` fast-path stays off — reject typos so a
+            # benchmark can't mislabel the config it actually ran
+            raise ValueError(
+                f"unknown WALS matmul_precision {cfg.matmul_precision!r} "
+                "(expected 'highest' or 'default')"
+            )
         self._solver = (
             self._auto_solver() if cfg.solver == "auto" else cfg.solver
         )

@@ -254,7 +254,10 @@ def _is_member(
 
     def body(_, lohi):
         lo, hi = lohi
-        mid = (lo + hi) // 2
+        # overflow-safe midpoint: lo + hi wraps int32 once the CSR holds
+        # >= 2^30 positives (the docstring's "int32-safe at any scale"
+        # contract covers this regime)
+        mid = lo + (hi - lo) // 2
         v = items[jnp.minimum(mid, items.shape[0] - 1)]
         go_right = (v < cand) & (lo < hi)
         lo = jnp.where(go_right, mid + 1, lo)
@@ -1465,6 +1468,20 @@ def sgd_epoch(
         logging.getLogger("qmf_tpu").info(
             "BPR epoch falling back to in-scan CSR sampling (~4x slower "
             "than the packed presampled path): %s", "; ".join(reasons)
+        )
+    # the in-scan path still needs batch divisibility (the scan reshapes to
+    # (steps, batch_size)): pad with zero-weight no-op rows, matching the
+    # engine's own stream padding semantics
+    pad = (-n) % batch_size
+    if pad:
+        users_flat = jnp.concatenate(
+            [users_flat, jnp.zeros(pad, users_flat.dtype)]
+        )
+        items_flat = jnp.concatenate(
+            [items_flat, jnp.zeros(pad, items_flat.dtype)]
+        )
+        weights_flat = jnp.concatenate(
+            [weights_flat, jnp.zeros(pad, weights_flat.dtype)]
         )
     # NOTE: bitmap_words deliberately NOT forwarded — bitmap membership
     # gathers inside the lax.scan body deterministically kernel-fault this
